@@ -1,0 +1,118 @@
+package graft.extract
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Converters
+import graft.model.{NS, RdfTriple, ValidationError}
+
+/** Doc table → RDF triples + error side channel.
+  *
+  * The whole of the reference's `process_rows`/`map_row_to_rdf` pass
+  * (reference: src/csv_to_rdf.py:165-296,352-374) as ONE Catalyst plan:
+  *
+  * {{{
+  * docs → original_name (row-local array ops, no join)
+  *      → explode(spans) → SpanProcessor UDF (the only black box)
+  *      → explode(triples) → union(type triples) → dropDuplicates → out
+  * }}}
+  *
+  * No driver loop, no collect. The only shuffles are the `distinct` for the
+  * per-doc `rdf:type` gate and the global set-dedup (rdflib Graph is a set;
+  * SURVEY.md §2.8 U1) — both keyed so AQE can coalesce. Everything up to
+  * them is narrow and pipelined.
+  */
+object Extraction {
+
+  import FieldSpecs.NameKind
+
+  private val processUdf = udf {
+    (docLocal: String, kind: String, text: String, offset: Int, originalName: String) =>
+      if (kind == NameKind) SpanProcessor.processName(docLocal, text)
+      else FieldSpecs.byKind.get(kind) match {
+        case Some(spec) => SpanProcessor.process(spec, docLocal, text, offset, originalName)
+        case None       => SpanResult(Nil, Nil)
+      }
+  }
+
+  private val fullnameUdf = udf { (originalName: String) =>
+    if (originalName == null || originalName.isEmpty) ""
+    else Converters.convertPersonName(originalName).full
+  }
+
+  /** Spans with processing results attached — shared lineage for triples
+    * and errors. */
+  private def processed(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withColumn("original_name",
+        coalesce(
+          element_at(filter($"spans", s => s("kind") === lit(NameKind)), 1)("text"),
+          lit("")))
+      .select($"doc_id", $"original_name", explode($"spans").as("s"))
+      .withColumn("r", processUdf($"doc_id", $"s.kind", $"s.text", $"s.offset", $"original_name"))
+  }
+
+  /** Data triples (no schema graph), deduplicated with set semantics. */
+  def triples(docs: DataFrame): Dataset[RdfTriple] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val p = processed(docs)
+    val spanTriples = p
+      .select($"doc_id", explode($"r.triples").as("t"))
+      .select($"t.subj".as("subj"), $"t.pred".as("pred"),
+        $"t.objValue".as("objValue"), $"t.objIsUri".as("objIsUri"),
+        $"t.objLang".as("objLang"), $"t.objDatatype".as("objDatatype"),
+        $"doc_id".as("docId"))
+
+    // "if row_rdf: add((entity, rdf:type, instance_class))"
+    // (csv_to_rdf.py:283-284) — docs that emitted at least one triple
+    val typeTriples = spanTriples.select($"docId").distinct()
+      .select(
+        concat(lit(NS.DATA), $"docId").as("subj"),
+        lit(NS.RDF_TYPE).as("pred"),
+        lit(SpanProcessor.instanceClassUri).as("objValue"),
+        lit(true).as("objIsUri"),
+        lit(null).cast("string").as("objLang"),
+        lit(null).cast("string").as("objDatatype"),
+        $"docId")
+
+    spanTriples.unionByName(typeTriples)
+      .dropDuplicates("subj", "pred", "objValue", "objIsUri", "objLang", "objDatatype")
+      .as[RdfTriple]
+  }
+
+  /** Validation errors incl. the no-data rows (csv_to_rdf.py:286-288). */
+  def errors(docs: DataFrame): Dataset[ValidationError] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val p = processed(docs)
+    val spanErrors = p
+      .select($"doc_id", fullnameUdf($"original_name").as("name"),
+        $"s.kind".as("column"), $"s.text".as("value"), explode($"r.errors").as("error"))
+      .select($"doc_id".as("docId"), $"name", $"column", $"error", $"value")
+
+    val emitting = p.filter(size($"r.triples") > 0).select($"doc_id").distinct()
+    val noData = docs.select($"doc_id").distinct()
+      .join(emitting, Seq("doc_id"), "left_anti")
+      .select($"doc_id".as("docId"), lit("").as("name"), lit("").as("column"),
+        lit("Ei tietoa henkilöstä").as("error"), lit("").as("value"))
+
+    spanErrors.unionByName(noData).as[ValidationError]
+  }
+
+  /** Schema graph derived from the FieldSpec table
+    * (reference: src/csv_to_rdf.py:367-374). */
+  def schemaTriples(spark: SparkSession): Dataset[RdfTriple] = {
+    import spark.implicits._
+    val rows = FieldSpecs.prisonerFields.flatMap { s =>
+      Seq(RdfTriple.uri(s.uri, NS.RDF_TYPE, NS.RDF_PROPERTY)) ++
+        (if (s.nameFi.nonEmpty) Seq(RdfTriple.langLit(s.uri, NS.SKOS_PREF_LABEL, s.nameFi, "fi")) else Nil) ++
+        (if (s.nameEn.nonEmpty) Seq(RdfTriple.langLit(s.uri, NS.SKOS_PREF_LABEL, s.nameEn, "en")) else Nil)
+    }.distinct
+    spark.createDataset(rows)
+  }
+}
