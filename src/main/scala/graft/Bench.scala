@@ -1,24 +1,108 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.extract.{Extraction, SynthDocs}
+
+/** Benchmark main. Emits ONE JSON line:
+  * {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
+  *  "scaling":{"cores_n":8,"cores_4n":32,"docs":...,
+  *             "docs_per_sec_n":...,"docs_per_sec_4n":...,"efficiency":...}}
+  *
+  * Scaling protocol (BASELINE.md): no real cluster in this sandbox, so the
+  * N→4N executor criterion is evidenced by running the identical KG
+  * pipeline on the identical deterministic input at local[8] and local[32],
+  * reporting throughput at both plus efficiency =
+  * (docs/s @4N) / (4 × docs/s @N). One discarded warm-up run per level;
+  * median of 3 timed runs; shuffle partitions scaled with cores.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", (cores * 2).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def time[A](f: => A): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+
+    // ---- per-query timings at the requested parallelism ------------------
+    var spark = session(cpus)
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        fn(spark, sfDir).count() // warm-up (plan + IO cache)
+        results(name) = time { fn(spark, sfDir).count() }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        results(name) = -1.0
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+
+    // ---- scaling: identical KG pipeline, identical input, two levels, ----
+    // each level in its OWN forked JVM (shared-JVM runs leak JIT/GC state
+    // between levels and made the ratio swing 0.6-2.0)
+    // 400 × sf0.1 = 2M docs: large enough that the ~2.5s/run fixed cost
+    // (plan/codegen/scheduling) stops distorting the N-vs-4N ratio
+    val replicate = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPLICATE", "400").toInt
+
+    def throughputAt(cores: Int): (Double, Long) = {
+      val javaBin = sys.props("java.home") + "/bin/java"
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar",
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+        // honest cluster-size simulation: cap ALL JVM threads (GC, JIT,
+        // compiler) to the level's core count, or the smaller "cluster"
+        // borrows the idle cores for GC and the ratio lies
+        s"-XX:ActiveProcessorCount=$cores",
+        "-Xmx24g", "-Dspark.ui.enabled=false",
+        "-Dspark.sql.session.timeZone=UTC",
+        "-cp", sys.props("java.class.path"),
+        "graft.ScalingBench", cores.toString, sfDir, replicate.toString)
+      val out = new StringBuilder
+      val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream))
+      var line = reader.readLine()
+      while (line != null) { out.append(line).append('\n'); line = reader.readLine() }
+      proc.waitFor()
+      val m = "\\[scaling\\] cores=\\d+ docs=(\\d+) median_sec=([0-9.]+)".r
+        .findFirstMatchIn(out.toString)
+        .getOrElse(sys.error(s"scaling run at $cores cores produced no result:\n$out"))
+      val docs = m.group(1).toLong
+      (docs / m.group(2).toDouble, docs)
+    }
+
+    val (tpN, docs) = throughputAt(8)
+    val (tp4N, _) = throughputAt(32)
+    val eff = tp4N / (4.0 * tpN)
+
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":{"cores_n":8,"cores_4n":32,"docs":$docs,"docs_per_sec_n":$tpN%.1f,"docs_per_sec_4n":$tp4N%.1f,"efficiency":$eff%.3f}}""")
   }
 }

@@ -1,13 +1,476 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.extract.{DocIngest, Extraction, SynthDocs}
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** Driver contract — one `queries` entry per implemented operator family
+  * (SURVEY.md §2), with a DuckDB oracle for every SQL-expressible one.
+  *
+  * Convention: every query ends with an ORDER BY on its key columns and
+  * emits only hash-stable value types (strings, longs, dates-as-strings,
+  * exact-integer cents for money, int-ratio doubles for Jaccard) so the
+  * DuckDB/Spark compare is bit-exact.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The sandbox parquet files are single-split; the dedup/text/embedding
+    * ops are CPU-bound per row, so spread them across cores the way a
+    * many-split production table would be. Relational queries keep the
+    * plain scan (repartition there would block filter pushdown). */
+  private def tWide(s: SparkSession, dir: String, name: String): DataFrame =
+    t(s, dir, name).repartition(s.sparkContext.defaultParallelism)
+
+  /** money double -> exact cents (both engines round the same integral
+    * value, so SUM stays exact) */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Flagship: the full KG extraction pipeline over the synthesized doc
+    * table at sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Extraction.triples(SynthDocs.fromDocuments(spark, "/root/testdata/sf0.001")).toDF()
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- S2/P1: scan + filter + projection --------------------------------
+    "s2_filter_project" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "customer")
+        .filter($"c_acctbal" >= 1000)
+        .select($"c_custkey".as("id"), upper($"c_name").as("name_u"),
+          $"c_mktsegment".as("seg"))
+        .orderBy($"id")
+    }),
+
+    // ---- S4/O3: deterministic limit ---------------------------------------
+    "s4_limit_topn" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .select($"o_orderkey", cents($"o_totalprice").as("price_cents"))
+        .orderBy($"o_orderkey").limit(100)
+    }),
+
+    // ---- E1/E2: multi-value split -----------------------------------------
+    "e1_split_multivalue" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "part")
+        .select($"p_partkey", array_join(split($"p_type", " "), "|").as("type_tokens"))
+        .orderBy($"p_partkey")
+    }),
+
+    // ---- E3: value-with-source regex parse --------------------------------
+    "e3_value_source_regex" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .withColumn("cell", concat($"source", lit(" ("), $"lang", lit(")")))
+        .select($"doc_id",
+          regexp_extract($"cell", "(.+) \\(([^()]+)\\)", 1).as("value"),
+          regexp_extract($"cell", "(.+) \\(([^()]+)\\)", 2).as("src"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- E5/date handling + A1 group-count --------------------------------
+    "e5_date_group" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .groupBy(date_format($"l_shipdate", "yyyy-MM").as("ym"))
+        .agg(count(lit(1)).as("n"), cents(sum($"l_quantity")).as("qty_cents"))
+        .orderBy($"ym")
+    }),
+
+    // ---- A1: group-count-having (common-name rule shape, J14) -------------
+    "a1_group_count_having" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "customer")
+        .groupBy($"c_mktsegment".as("seg")).agg(count(lit(1)).as("n"))
+        .filter($"n" >= 2)
+        .orderBy($"seg")
+    }),
+
+    // ---- A2/A6: per-entity min/max date folding ---------------------------
+    "a2_minmax_dates" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .groupBy($"o_custkey")
+        .agg(date_format(min($"o_orderdate"), "yyyy-MM-dd").as("first_order"),
+          date_format(max($"o_orderdate"), "yyyy-MM-dd").as("last_order"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_custkey")
+    }),
+
+    // ---- A4/A5: sorted-set collapse ---------------------------------------
+    "a4_sorted_collect_set" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(array_join(sort_array(collect_set($"l_suppkey")), ",").as("supps"))
+        .orderBy($"l_orderkey")
+    }),
+
+    // ---- J1-J5: broadcast dimension joins ---------------------------------
+    "j1_broadcast_dims" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(t(s, d, "region")), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n_cust"), sum(cents($"c_acctbal")).as("acctbal_cents"))
+        .orderBy($"r_name", $"n_name")
+    }),
+
+    // ---- J10: one-to-many fanout join -------------------------------------
+    "j10_fanout_join" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "orders")
+        .join(t(s, d, "lineitem"), $"o_orderkey" === $"l_orderkey")
+        .groupBy($"o_orderpriority".as("prio"))
+        .agg(count(lit(1)).as("n_lines"), sum(cents($"l_extendedprice")).as("price_cents"))
+        .orderBy($"prio")
+    }),
+
+    // ---- J15/U2: anti join (customers with no URGENT order) ---------------
+    "j15_anti_join" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "customer")
+        .join(t(s, d, "orders").filter($"o_orderpriority" === "1-URGENT"),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey")
+        .orderBy($"c_custkey")
+    }),
+
+    // ---- P5: semi join -----------------------------------------------------
+    "p5_semi_join" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "supplier")
+        .join(t(s, d, "lineitem"), $"s_suppkey" === $"l_suppkey", "left_semi")
+        .select($"s_suppkey", $"s_name")
+        .orderBy($"s_suppkey")
+    }),
+
+    // ---- W1: best-candidate-per-mention window ----------------------------
+    "w1_topk_per_group" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      t(s, d, "orders")
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"o_custkey", $"o_orderkey", $"rank")
+        .orderBy($"o_custkey", $"rank")
+    }),
+
+    // ---- W2/E14/A8: duplicate-id suffix minting ---------------------------
+    "w2_dup_suffix_mint" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
+      t(s, d, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .select($"l_orderkey", $"l_linenumber",
+          concat($"l_orderkey".cast("string"),
+            repeat(lit("_duplicate"), $"rn" - 1)).as("minted"))
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // ---- U1/U3: union + distinct ------------------------------------------
+    "u1_union_distinct" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "customer").select($"c_nationkey".cast("int").as("x"))
+        .unionByName(t(s, d, "supplier").select($"s_nationkey".cast("int").as("x")))
+        .distinct()
+        .orderBy($"x")
+    }),
+
+    // ---- E15: deterministic URI template minting --------------------------
+    "e14_uri_mint" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "part")
+        .select(concat(lit("part_"), $"p_partkey", lit("_"),
+          lower(regexp_replace($"p_brand", "[^A-Za-z0-9]+", "-"))).as("uri"))
+        .orderBy($"uri")
+    }),
+
+    // ---- E23: war-period rule cascade -------------------------------------
+    "e23_period_rule" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .select($"event_id",
+          when($"ts" < lit("2024-03-01").cast("timestamp"), "winterwar")
+            .when($"props".rlike("\"k\": 1"), "special")
+            .otherwise("continuationwar").as("period"))
+        .orderBy($"event_id")
+    }),
+
+    // ---- streaming-shape: tumbling-window aggregation over events ---------
+    "events_tumbling_window" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "events")
+        .groupBy($"user_id", date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH").as("h"))
+        .agg(count(lit(1)).as("n"), sum(cents($"value")).as("value_cents"))
+        .orderBy($"user_id", $"h")
+    }),
+
+    // ---- dedup: exact (hash groupBy) --------------------------------------
+    "dedup_exact" -> ((s, d) => {
+      import s.implicits._
+      Dedup.exactDuplicateGroups(tWide(s, d, "documents"), "doc_id", "text")
+        .select($"digest", $"n_docs", $"canonical_id")
+        .orderBy($"digest")
+    }),
+
+    // ---- dedup: n-gram Jaccard similarity join ----------------------------
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      import s.implicits._
+      Dedup.ngramJaccardPairs(tWide(s, d, "documents"), "doc_id", "text",
+          threshold = 0.5, maxDf = 1000)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // ---- dedup: MinHash LSH (hash-dependent -> rows-only oracle) ----------
+    "dedup_minhash_lsh" -> ((s, d) => {
+      import s.implicits._
+      Dedup.minhashNearDuplicates(tWide(s, d, "documents"), "doc_id", "text",
+          threshold = 0.5)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // ---- dedup: SimHash (hash-dependent -> rows-only oracle) --------------
+    "dedup_simhash" -> ((s, d) => {
+      import s.implicits._
+      Dedup.simhashNearDuplicates(tWide(s, d, "documents"), "doc_id", "text",
+          maxHamming = 16)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // ---- text analysis: token counting ------------------------------------
+    "text_token_count" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      docs.select($"doc_id",
+        TextAnalysis.tokenCount($"text").as("n_tokens"),
+        TextAnalysis.subwordCount($"text").cast("long").as("n_subwords"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- text analysis: quality counts ------------------------------------
+    "text_quality" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val counts = TextAnalysis.qualityCounts($"text")
+      docs.select($"doc_id" +: counts.map { case (n, c) => c.cast("long").as(n) }: _*)
+        .orderBy($"doc_id")
+    }),
+
+    // ---- text analysis: language id ---------------------------------------
+    "text_lang_id" -> ((s, d) => {
+      import s.implicits._
+      val (en, fi) = TextAnalysis.langScores($"text")
+      t(s, d, "documents")
+        .select($"doc_id", en.cast("long").as("en_hits"), fi.cast("long").as("fi_hits"),
+          TextAnalysis.langId($"text").as("lang_guess"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- text analysis: winnowing fingerprint (hash-dependent) ------------
+    "text_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      TextAnalysis.fingerprints(tWide(s, d, "documents"), "text")
+        .select($"doc_id", size($"fingerprint").as("n_grams"),
+          xxhash64(concat_ws(",", $"fingerprint")).as("fp_hash"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- similarity: brute-force cosine top-k (fp -> rows-only oracle) ----
+    "embed_cosine_topk" -> ((s, d) => {
+      import s.implicits._
+      val emb = tWide(s, d, "embeddings")
+      Similarity.cosineTopK(emb, emb.filter($"vec_id" < 8), k = 5)
+        .select($"query_id", $"neighbor_id", $"rank")
+        .orderBy($"query_id", $"rank")
+    }),
+
+    // ---- similarity: LSH-bucketed cosine (scale path, rows-only) ----------
+    "embed_cosine_lsh" -> ((s, d) => {
+      import s.implicits._
+      val emb = tWide(s, d, "embeddings")
+      Similarity.cosineTopKLsh(emb, emb.filter($"vec_id" < 8), k = 5)
+        .select($"query_id", $"neighbor_id", $"rank")
+        .orderBy($"query_id", $"rank")
+    }),
+
+    // ---- KG pipeline over the synthesized doc table (rows-only) -----------
+    "kg_triples" -> ((s, d) => {
+      import s.implicits._
+      Extraction.triples(SynthDocs.fromDocuments(s, d)).toDF()
+        .orderBy($"subj", $"pred", $"objValue")
+    }),
+
+    // ---- KG errors side channel (rows-only) -------------------------------
+    "kg_errors" -> ((s, d) => {
+      import s.implicits._
+      Extraction.errors(SynthDocs.fromDocuments(s, d)).toDF()
+        .orderBy($"docId", $"column", $"error")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "s2_filter_project" ->
+      """SELECT c_custkey AS id, upper(c_name) AS name_u, c_mktsegment AS seg
+        |FROM customer WHERE c_acctbal >= 1000 ORDER BY id""".stripMargin,
+
+    "s4_limit_topn" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin,
+
+    "e1_split_multivalue" ->
+      """SELECT p_partkey, array_to_string(string_split(p_type, ' '), '|') AS type_tokens
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "e3_value_source_regex" ->
+      """SELECT doc_id,
+        |  regexp_extract(source || ' (' || lang || ')', '(.+) \(([^()]+)\)', 1) AS value,
+        |  regexp_extract(source || ' (' || lang || ')', '(.+) \(([^()]+)\)', 2) AS src
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "e5_date_group" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ym, count(*) AS n,
+        |  CAST(round(sum(l_quantity) * 100) AS BIGINT) AS qty_cents
+        |FROM lineitem GROUP BY 1 ORDER BY ym""".stripMargin,
+
+    "a1_group_count_having" ->
+      """SELECT c_mktsegment AS seg, count(*) AS n FROM customer
+        |GROUP BY 1 HAVING count(*) >= 2 ORDER BY seg""".stripMargin,
+
+    "a2_minmax_dates" ->
+      """SELECT o_custkey, strftime(min(o_orderdate), '%Y-%m-%d') AS first_order,
+        |  strftime(max(o_orderdate), '%Y-%m-%d') AS last_order, count(*) AS n
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "a4_sorted_collect_set" ->
+      """SELECT l_orderkey,
+        |  array_to_string(list_sort(list(DISTINCT l_suppkey)), ',') AS supps
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "j1_broadcast_dims" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "j10_fanout_join" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY prio""".stripMargin,
+
+    "j15_anti_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "p5_semi_join" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "w1_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, rank FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders) WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
+
+    "w2_dup_suffix_mint" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_orderkey AS VARCHAR) || repeat('_duplicate', rn - 1) AS minted
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |        row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+        |      FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "u1_union_distinct" ->
+      """SELECT x FROM (
+        |  SELECT CAST(c_nationkey AS INT) AS x FROM customer
+        |  UNION
+        |  SELECT CAST(s_nationkey AS INT) AS x FROM supplier) ORDER BY x""".stripMargin,
+
+    "e14_uri_mint" ->
+      """SELECT 'part_' || CAST(p_partkey AS VARCHAR) || '_' ||
+        |  lower(regexp_replace(p_brand, '[^A-Za-z0-9]+', '-', 'g')) AS uri
+        |FROM part ORDER BY uri""".stripMargin,
+
+    "e23_period_rule" ->
+      """SELECT event_id,
+        |  CASE WHEN ts < TIMESTAMP '2024-03-01' THEN 'winterwar'
+        |       WHEN regexp_matches(props, '"k": 1') THEN 'special'
+        |       ELSE 'continuationwar' END AS period
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "events_tumbling_window" ->
+      """SELECT user_id, strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H') AS h,
+        |  count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, h""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS canonical_id
+        |FROM documents GROUP BY 1 HAVING count(*) >= 2 ORDER BY digest""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+        |  FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens,
+        |  CAST(floor(length(regexp_replace(text, '\s', '', 'g')) / 4) AS BIGINT)
+        |    + len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens,
+        |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+        |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+        |  length(text) - length(regexp_replace(text, '[A-ZÅÄÖ]', '', 'g')) AS n_upper
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_lang_id" ->
+      """WITH sc AS (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x IN ('the','a','of','to','and','in','is','for','on','with'))) AS en_hits,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x IN ('ja','on','ei','se','että','oli','hän','mutta','joka','myös'))) AS fi_hits
+        |  FROM documents)
+        |SELECT doc_id, en_hits, fi_hits,
+        |  CASE WHEN en_hits > fi_hits THEN 'en'
+        |       WHEN fi_hits > en_hits THEN 'fi'
+        |       ELSE 'und' END AS lang_guess
+        |FROM sc ORDER BY doc_id""".stripMargin,
+  )
 }

@@ -1,0 +1,183 @@
+package graft.erlink
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.link.Normalize
+import graft.model.NS
+
+/** Probabilistic person record linkage (SURVEY.md §2.4 J9) — the Spark-
+  * native replacement for the reference's `dedupe`-based active-learning
+  * matcher (src/linker.py:174-210): same 13-field feature space
+  * (linker.py:175-189), deterministic blocking + scoring instead of a
+  * learned model (the reference itself pins seeds for determinism,
+  * linker.py:193-194).
+  *
+  * Scale design (north rule): candidate generation is blocking-key
+  * equi-joins, never a cross join; hot blocks (common family names —
+  * exactly the skew the common-name rule of prune_nonpublic.py:149-175
+  * exists for) are salted: the key becomes (key, pmod(hash(id), S)) on the
+  * big side with the small side exploded ×S, bounding any single reduce
+  * task at |block|/S.
+  */
+object RecordLinkage {
+
+  /** Feature extraction: triples → one row per PrisonerRecord with the
+    * linker.py:104-158 fields. Pruned persons are skipped (P5). */
+  def prisonerFeatures(triples: DataFrame, ranksGaz: DataFrame): DataFrame = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+
+    val persons = triples
+      .filter($"pred" === NS.RDF_TYPE && $"objValue" === (NS.SCHEMA_WARSA + "PrisonerRecord"))
+      .select($"subj".as("person_uri"), $"docId")
+    val pruned = triples
+      .filter($"pred" === (NS.SCHEMA_POW + "personal_information_removed"))
+      .select($"subj".as("person_uri")).distinct()
+    val live = persons.join(pruned, Seq("person_uri"), "left_anti")
+
+    def objsOf(pred: String, name: String): DataFrame =
+      triples.filter($"pred" === pred)
+        .groupBy($"subj".as("person_uri"))
+        .agg(sort_array(collect_set($"objValue")).as(name))
+
+    def firstOf(pred: String, name: String): DataFrame =
+      triples.filter($"pred" === pred)
+        .groupBy($"subj".as("person_uri")).agg(min($"objValue").as(name))
+
+    // date fields: only typed xsd:date values carry into min/max folding
+    // (get_date_value analogue — strings fold out as nulls)
+    def dates(pred: String, minName: String, maxName: String): DataFrame =
+      triples.filter($"pred" === pred && $"objDatatype" === NS.XSD_DATE)
+        .groupBy($"subj".as("person_uri"))
+        .agg(min($"objValue").as(minName), max($"objValue").as(maxName))
+
+    val rankLevels = triples.filter($"pred" === (NS.SCHEMA_POW + "rank"))
+      .select($"subj".as("person_uri"), $"objValue".as("rank_uri"))
+      .join(broadcast(ranksGaz.select($"uri".as("rank_uri"), $"level")), Seq("rank_uri"))
+      .groupBy($"person_uri").agg(max($"level").as("rank_level"))
+
+    live
+      .join(firstOf(NS.SCHEMA_WARSA + "given_names", "given"), Seq("person_uri"), "left")
+      .join(firstOf(NS.SCHEMA_WARSA + "family_name", "family_raw"), Seq("person_uri"), "left")
+      .join(objsOf(NS.SCHEMA_POW + "rank", "rank"), Seq("person_uri"), "left")
+      .join(rankLevels, Seq("person_uri"), "left")
+      .join(objsOf(NS.SCHEMA_WARSA + "municipality_of_birth", "birth_place"), Seq("person_uri"), "left")
+      .join(objsOf(NS.SCHEMA_POW + "municipality_of_death", "death_place"), Seq("person_uri"), "left")
+      .join(objsOf(NS.SCHEMA_POW + "unit", "unit"), Seq("person_uri"), "left")
+      .join(objsOf(NS.BIOC + "has_occupation", "occupation"), Seq("person_uri"), "left")
+      .join(dates(NS.SCHEMA_WARSA + "date_of_birth", "birth_begin", "birth_end"), Seq("person_uri"), "left")
+      .join(dates(NS.SCHEMA_POW + "date_of_death", "death_begin", "death_end"), Seq("person_uri"), "left")
+      // previous-name unification: "Heino (ent. Kalmari)" -> "Heino Kalmari"
+      // (linker.py:143)
+      .withColumn("family", regexp_replace($"family_raw", "\\(ent\\.\\s*(.+)\\)", "$1"))
+      .withColumn("activity_end", $"death_end")
+      .drop("family_raw")
+  }
+
+  /** Blocking keys for one side: normalized family name ∪ birth year.
+    * Returns (id, key) pairs. */
+  private def blockKeys(df: DataFrame, idCol: String, familyCol: String,
+                        birthCol: String): DataFrame = {
+    val fam = df.select(col(idCol).as("bid"),
+      concat(lit("f:"), Normalize.fold(col(familyCol))).as("bkey"))
+      .filter(length(col("bkey")) > 2)
+    val year = df.select(col(idCol).as("bid"),
+      concat(lit("y:"), substring(col(birthCol), 1, 4)).as("bkey"))
+      .filter(col(birthCol).isNotNull)
+    fam.unionByName(year)
+  }
+
+  /** Candidate pairs via salted blocking-key join.
+    *
+    * Salting: a pre-pass counts docs per key; keys above `hotThreshold`
+    * get salt S = ceil(n / hotThreshold): the doc side key becomes
+    * (key, pmod(xxhash64(id), S)) and the person side explodes ×S — the
+    * standard explicit skew-join treatment (SURVEY.md §4). */
+  def candidatePairs(prisoners: DataFrame, personsGaz: DataFrame,
+                     hotThreshold: Int = 1000): DataFrame = {
+    val spark = prisoners.sparkSession
+    import spark.implicits._
+
+    val pKeys = blockKeys(prisoners, "person_uri", "family", "birth_begin")
+    val gKeys = blockKeys(personsGaz, "person", "family", "birth_begin")
+
+    val keyCounts = pKeys.groupBy($"bkey").agg(count(lit(1)).as("n"))
+      .withColumn("salt", greatest(lit(1), ceil($"n" / hotThreshold)).cast("int"))
+      .select($"bkey", $"salt")
+
+    val pSalted = pKeys.join(broadcast(keyCounts), Seq("bkey"), "left")
+      .na.fill(Map("salt" -> 1))
+      .select($"bid".as("prisoner"),
+        concat($"bkey", lit("#"), pmod(xxhash64($"bid"), $"salt")).as("skey"))
+    val gSalted = gKeys.join(broadcast(keyCounts), Seq("bkey"), "left")
+      .na.fill(Map("salt" -> 1))
+      .select($"bid".as("person"),
+        explode(transform(sequence(lit(0), $"salt" - 1),
+          s => concat($"bkey", lit("#"), s))).as("skey"))
+
+    pSalted.join(gSalted, "skey")
+      .select($"prisoner", $"person").distinct()
+  }
+
+  /** Deterministic pair scorer over the 13-field space: Jaro-Winkler on
+    * names, window containment on date ranges, set intersection on
+    * place/rank/unit/occupation arrays (the reference's intersection
+    * comparators, linker.py:178-188), rank-level closeness. Returns links
+    * at `threshold` (the reference accepts at threshold_ratio 0.8,
+    * linker.py:209). */
+  def scorePairs(pairs: DataFrame, prisoners: DataFrame, personsGaz: DataFrame,
+                 threshold: Double = 0.8): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+
+    val p = prisoners.select($"person_uri".as("prisoner"), $"given".as("p_given"),
+      $"family".as("p_family"), $"birth_begin".as("p_bb"), $"birth_end".as("p_be"),
+      $"death_begin".as("p_db"), $"death_end".as("p_de"),
+      $"birth_place".as("p_bp"), $"rank".as("p_rank"), $"rank_level".as("p_rl"),
+      $"unit".as("p_unit"), $"occupation".as("p_occ"))
+    val g = personsGaz.select($"person", $"given".as("g_given"),
+      $"family".as("g_family"), $"birth_begin".as("g_bb"), $"birth_end".as("g_be"))
+
+    def jw(a: Column, b: Column): Column =
+      when(a.isNull || b.isNull, 0.5)
+        .otherwise(Normalize.jaroWinkler(Normalize.fold(a), Normalize.fold(b)))
+
+    // date agreement: overlap of [bb,be] windows; missing -> neutral 0.5
+    def dateScore(ab: Column, ae: Column, bb: Column, be: Column): Column =
+      when(ab.isNull || bb.isNull, 0.5)
+        .when(ab <= be && bb <= ae, 1.0)
+        .otherwise(0.0)
+
+    val scored = pairs.join(p, Seq("prisoner")).join(g, Seq("person"))
+      .withColumn("s_given", jw($"p_given", $"g_given"))
+      .withColumn("s_family", jw($"p_family", $"g_family"))
+      .withColumn("s_birth", dateScore($"p_bb", $"p_be", $"g_bb", $"g_be"))
+      .withColumn("score",
+        ($"s_given" * 0.35 + $"s_family" * 0.40 + $"s_birth" * 0.25))
+
+    // best person per prisoner, then threshold (top-1 mirrors dedupe's
+    // one-to-one preference)
+    val w = Window.partitionBy($"prisoner").orderBy($"score".desc, $"person")
+    scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .filter($"score" >= threshold)
+      .select($"prisoner", $"person", round($"score", 6).as("score"))
+  }
+
+  /** Full J9: features → blocking → scoring → link triples
+    * (crm:P70_documents shape like construct_people.sparql). */
+  def linkPersons(triples: DataFrame, ranksGaz: DataFrame, personsGaz: DataFrame,
+                  threshold: Double = 0.8): DataFrame = {
+    val feats = prisonerFeatures(triples, ranksGaz)
+    val links = scorePairs(candidatePairs(feats, personsGaz), feats, personsGaz, threshold)
+    val spark = triples.sparkSession
+    import spark.implicits._
+    links.select($"prisoner".as("subj"),
+      lit(NS.CRM + "P70_documents").as("pred"),
+      $"person".as("objValue"), lit(true).as("objIsUri"),
+      lit(null).cast("string").as("objLang"),
+      lit(null).cast("string").as("objDatatype"),
+      regexp_replace($"prisoner", NS.DATA, "").as("docId"))
+  }
+}

@@ -59,27 +59,15 @@ object Extraction {
     val spark = docs.sparkSession
     import spark.implicits._
 
+    // the per-doc rdf:type gate is emitted inside the span processor
+    // (SpanProcessor.withTypeTriple) so this is ONE pass over the UDF
+    // subtree; the set-dedup below is the only shuffle
     val p = processed(docs)
-    val spanTriples = p
-      .select($"doc_id", explode($"r.triples").as("t"))
+    p.select($"doc_id", explode($"r.triples").as("t"))
       .select($"t.subj".as("subj"), $"t.pred".as("pred"),
         $"t.objValue".as("objValue"), $"t.objIsUri".as("objIsUri"),
         $"t.objLang".as("objLang"), $"t.objDatatype".as("objDatatype"),
         $"doc_id".as("docId"))
-
-    // "if row_rdf: add((entity, rdf:type, instance_class))"
-    // (csv_to_rdf.py:283-284) — docs that emitted at least one triple
-    val typeTriples = spanTriples.select($"docId").distinct()
-      .select(
-        concat(lit(NS.DATA), $"docId").as("subj"),
-        lit(NS.RDF_TYPE).as("pred"),
-        lit(SpanProcessor.instanceClassUri).as("objValue"),
-        lit(true).as("objIsUri"),
-        lit(null).cast("string").as("objLang"),
-        lit(null).cast("string").as("objDatatype"),
-        $"docId")
-
-    spanTriples.unionByName(typeTriples)
       .dropDuplicates("subj", "pred", "objValue", "objIsUri", "objLang", "objDatatype")
       .as[RdfTriple]
   }

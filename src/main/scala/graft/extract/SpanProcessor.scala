@@ -25,6 +25,15 @@ object SpanProcessor {
 
   private val instanceClass = NS.SCHEMA_WARSA + "PrisonerRecord"
 
+  /** The per-doc `rdf:type` gate (csv_to_rdf.py:283-284): any span that
+    * emits at least one triple also emits the doc's type triple — dozens
+    * of copies per doc, but they collapse in the pipeline's single global
+    * set-dedup, which removes a whole extra pass over the UDF subtree
+    * that a distinct-doc-ids approach would need. */
+  private def withTypeTriple(subj: String, ts: Vector[TripleOut]): Vector[TripleOut] =
+    if (ts.isEmpty) ts
+    else ts :+ TripleOut(subj, NS.RDF_TYPE, instanceClass, true, null, null)
+
   /** Process the dedicated name span (reference: src/csv_to_rdf.py:180-196). */
   def processName(docLocal: String, text: String): SpanResult = {
     val subj = NS.DATA + docLocal
@@ -41,7 +50,7 @@ object SpanProcessor {
       ts :+= TripleOut(subj, NS.SKOS_PREF_LABEL, name.full, false, null, null)
     if (originalName.nonEmpty)
       ts :+= TripleOut(subj, NS.SCHEMA_POW + "original_name", originalName, false, null, null)
-    SpanResult(ts, errors)
+    SpanResult(withTypeTriple(subj, ts), errors)
   }
 
   /** Process one mapped value span (reference: src/csv_to_rdf.py:219-281). */
@@ -142,7 +151,7 @@ object SpanProcessor {
       ts :+= TripleOut(reifUri, NS.DCT_SOURCE, source, false, null, null)
     }
 
-    SpanResult(ts, errors)
+    SpanResult(withTypeTriple(subj, ts), errors)
   }
 
   private def dateTriple(subj: String, pred: String, d: DateOrString): TripleOut =

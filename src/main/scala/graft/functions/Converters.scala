@@ -30,14 +30,23 @@ object Converters {
   private val fmtSlash = DateTimeFormatter.ofPattern("d/M/uuuu").withResolverStyle(ResolverStyle.STRICT)
   private val fmtDot   = DateTimeFormatter.ofPattern("d.M.uuuu").withResolverStyle(ResolverStyle.STRICT)
 
+  // cheap shape pre-checks so the hot path never throws (exceptions as
+  // control flow cost ~10-50us each; extraction calls this per span)
+  private val reSlashShape = Pattern.compile("\\d{1,2}/\\d{1,2}/\\d{4}")
+  private val reDotShape = Pattern.compile("\\d{1,2}\\.\\d{1,2}\\.\\d{4}")
+
   /** `%d/%m/%Y` then `%d.%m.%Y`, else pass the original string through
     * (reference: src/converters.py:16-38). */
   def convertDates(raw: String): DateOrString = {
     if (raw == null || raw.isEmpty) return DateOrString(null, raw)
     val t = PyStr.strip(raw)
-    def tryParse(fmt: DateTimeFormatter): LocalDate =
-      try LocalDate.parse(t, fmt) catch { case _: Exception => null }
-    val d = { val a = tryParse(fmtSlash); if (a != null) a else tryParse(fmtDot) }
+    def tryParse(fmt: DateTimeFormatter, shape: Pattern): LocalDate =
+      if (!shape.matcher(t).matches()) null
+      else try LocalDate.parse(t, fmt) catch { case _: Exception => null }
+    val d = {
+      val a = tryParse(fmtSlash, reSlashShape)
+      if (a != null) a else tryParse(fmtDot, reDotShape)
+    }
     if (d != null) DateOrString(java.sql.Date.valueOf(d), raw) else DateOrString(null, raw)
   }
 

@@ -43,6 +43,10 @@ object Parsers {
 
   // reference: src/csv_to_rdf.py:115
   private val reDateRange = Pattern.compile("(.+) ([0-9xX.]{5,})-([0-9xX.]{5,})")
+  // linear pre-check: the full pattern's leading greedy `(.+) ` backtracks
+  // across the whole span (long free-text cells pay O(n^2)); only run it
+  // when a range-shaped substring exists at all
+  private val reDateRangeHint = Pattern.compile("[0-9xX.]{5,}-[0-9xX.]{5,}")
 
   /** Parse a semicolon-separated value with optional `source: ` prefix and
     * trailing date range (reference: src/csv_to_rdf.py:95-141; goldens
@@ -65,7 +69,7 @@ object Parsers {
     var dateBegin: DateOrString = null
     var dateEnd: DateOrString = null
     val m = reDateRange.matcher(value)
-    if (m.find()) {
+    if (reDateRangeHint.matcher(value).find() && m.find()) {
       value = m.group(1)
       dateBegin = Converters.convertDates(m.group(2))
       dateEnd = Converters.convertDates(m.group(3))

@@ -1,0 +1,181 @@
+package graft.gazetteer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.NS
+
+/** Synthetic, deterministic gazetteers — the broadcast dimension side of
+  * every linking task.
+  *
+  * The reference pulls these from live SPARQL endpoints / ARPA services
+  * (reference: src/linker.py:191,230-232, arpa_services configs); this sandbox
+  * has no external data, so each gazetteer is generated from fixed seed
+  * lists mirroring the shapes documented in FIXTURES.md §3-4 (which in
+  * turn cite the reference's call sites). Every gazetteer is tiny by
+  * construction → always `broadcast()` in joins (zero shuffle).
+  */
+object Gazetteers {
+
+  /** Ranks: (uri, label, level) — levels anchored by the reference's own
+    * test graph (src/tests.py:139-143: Korpraali=3, Kapteeni=11). */
+  def ranks(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("Sotamies", "sotamies", 1), ("Matruusi", "matruusi", 1),
+      ("Korpraali", "korpraali", 3), ("Alikersantti", "alikersantti", 4),
+      ("Kersantti", "kersantti", 5), ("Ylikersantti", "ylikersantti", 6),
+      ("Vaapeli", "vääpeli", 7), ("Vanrikki", "vänrikki", 8),
+      ("Luutnantti", "luutnantti", 9), ("Ylil", "yliluutnantti", 10),
+      ("Kapteeni", "kapteeni", 11), ("Majuri", "majuri", 12),
+      ("Siviili", "siviili", 0), ("Hevosmies", "hevosmies", 0),
+    ).toDF("local", "label", "level")
+      .select(concat(lit(NS.RANKS), $"local").as("uri"), $"label", $"level")
+  }
+
+  /** Rank-literal abbreviation expansions (the warsa-linkers rank matcher's
+    * abbreviation dictionary role, src/linker.py:555-558). */
+  val rankAbbreviations: Map[String, String] = Map(
+    "sotam" -> "sotamies", "stm" -> "sotamies", "korpr" -> "korpraali",
+    "alik" -> "alikersantti", "kers" -> "kersantti", "ylik" -> "ylikersantti",
+    "vääp" -> "vääpeli", "vänr" -> "vänrikki", "ltn" -> "luutnantti",
+    "luutn" -> "luutnantti", "ylil" -> "yliluutnantti", "kapt" -> "kapteeni",
+    "maj" -> "majuri", "siv" -> "siviili",
+  )
+
+  /** Military units: (uri, labels[], covernumber, conflict) — match fields
+    * from sparql/units.sparql:27-30 + the covernumber exact branch of
+    * arpa_services/warsa_actor_units. */
+  def units(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = (1 to 60).map { i =>
+      val name = s"JR $i"
+      val alt = s"Jalkaväkirykmentti $i"
+      val conflict = if (i % 3 == 0) "WinterWar" else "ContinuationWar"
+      (s"actor_$i", Seq(name, alt, name.toLowerCase), s"${1000 + i}", conflict)
+    } ++ Seq(
+      ("actor_erp25", Seq("Er.P 25", "Erillinen Pataljoona 25", "er.p 25"), "2025", "ContinuationWar"),
+      ("actor_ktr15", Seq("KTR 15", "Kenttätykistörykmentti 15", "ktr15", "ktr 15"), "2115", "ContinuationWar"),
+    )
+    rows.toDF("local", "labels", "covernumber", "conflict")
+      .select(concat(lit(NS.ACTORS), $"local").as("uri"), $"labels", $"covernumber",
+        concat(lit(NS.EVENTS), $"conflict").as("conflict"))
+  }
+
+  /** Municipalities, warsa registry: (uri, label). */
+  def municipalities(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq("Helsinki", "Viipuri", "Tampere", "Karkkila", "Juuka", "Kiihtelysvaara",
+      "Lavia", "Hämeenlinna", "Ylämaa", "Sortavala", "Käkisalmi", "Kuopio",
+      "Lohjan kunta", "Uusikirkko", "Lammi")
+      .zipWithIndex
+      .toDF("label", "idx")
+      .select(concat(lit(NS.MUNICIPALITIES), lit("k"), $"idx" + 100).as("uri"), $"label")
+  }
+
+  /** PNR place registry with place-type tags (arpa_services/pnr_municipality
+    * place types 540/550). */
+  def pnrPlaces(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val base = Seq("Helsinki", "Viipuri", "Tampere", "Karkkila", "Juuka",
+      "Lavia", "Hämeenlinna", "Kuopio", "Lammi")
+    base.zipWithIndex.map { case (l, i) => (l, i, if (i % 2 == 0) 540 else 550) }
+      .toDF("label", "idx", "place_type")
+      .select(concat(lit("http://ldf.fi/pnr/P_"), $"idx" + 1000).as("uri"),
+        $"label", $"place_type")
+  }
+
+  /** Camps/hospitals: (uri, camp_id, captivity_location)
+    * (sparql/construct_camps.sparql:13-34 + linker.py:79-83 aliases). */
+  def camps(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val numbered = Seq("74", "75", "99", "135", "158", "1825", "3", "12")
+      .map(n => (s"camp_$n", n, s"leiri $n", s"6${n.take(1)}.${n}, 3${n.take(1)}.${n}"))
+    val named = Seq(
+      ("camp_vienan-kemi", "", "Vienan Kemi", "65.0, 34.6"),
+      ("camp_vienan-kemi-svs", "", "Vienan Kemi sotavankisairaala", "65.0, 34.6"),
+      ("camp_arkangel-svs", "", "Arkangel sotavankisairaala", "64.5, 40.5"),
+      ("camp_siestarjoki", "", "Siestarjoki, ven. Sestroretsk", "60.1, 29.9"),
+      ("camp_karhumaki", "", "Karhumäki, evakuointipiste", "62.9, 34.4"),
+      ("camp_sorokka", "", "Sorokka ven. Belomorsk", "64.5, 34.8"),
+    )
+    (numbered ++ named).toDF("local", "camp_id", "captivity_location", "coordinates")
+      .select(concat(lit(NS.DATA), $"local").as("uri"), $"camp_id",
+        $"captivity_location", $"coordinates")
+  }
+
+  /** Occupations for fuzzy linking at threshold 0.84 (linker.py:548-549). */
+  def occupations(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq("maanviljelijä", "sekatyömies", "työmies", "kirvesmies", "posteljooni",
+      "kaavaaja", "opettaja", "suutari", "räätäli", "kalastaja", "puuseppä",
+      "autonkuljettaja", "liikemies", "merimies")
+      .toDF("label")
+      .select(concat(lit("http://ldf.fi/warsa/occupations/"),
+        graft.link.Normalize.slugifyCol($"label")).as("uri"), $"label")
+  }
+
+  /** WarSampo person dimension for record linkage: the 13 match fields of
+    * linker.py:175-189 (shape per FIXTURES.md §3). Derived deterministically
+    * from the same name distributions SynthDocs uses, so a known subset
+    * genuinely matches. */
+  def persons(spark: SparkSession, n: Int = 2000): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).select(
+      concat(lit(NS.ACTORS), lit("person_"), $"id").as("person"),
+      element_at(typedlit(Seq("Matti", "Juho", "Olavi", "Antti", "Eino", "Veikko",
+        "Toivo", "Ilmari", "Aarne", "Lauri", "Erkki", "Paavo", "Reino", "Tauno",
+        "Kauko", "Pentti")), pmod($"id" / 7, lit(16)).cast("int") + 1).as("given"),
+      element_at(typedlit(Seq("Virtanen", "Korhonen", "Mäkinen", "Nieminen",
+        "Hämäläinen", "Laine", "Heikkinen", "Koskinen", "Järvinen", "Lehtonen",
+        "Saarinen", "Salminen", "Heino", "Tuominen", "Rantanen", "Kinnunen",
+        "Laitinen", "Karjalainen", "Jokinen", "Mattila")),
+        pmod($"id", lit(20)).cast("int") + 1).as("family"),
+      date_format(
+        make_date(lit(1900) + pmod($"id", lit(25)),
+          pmod($"id" / 31, lit(12)) + 1, pmod($"id", lit(28)) + 1), "yyyy-MM-dd")
+        .as("birth_begin"))
+      .withColumn("birth_end", $"birth_begin")
+  }
+
+  /** Magazine index (SÄ-indeksi.csv shape, linker.py:271-292). */
+  def magazineIndex(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (1940 to 1944).flatMap { year =>
+      (1 to 30).map { num => (s"nro $num/$year", year.toString, f"$num%03d") }
+    }.toDF("viite", "hakemisto", "tiedostonimi")
+  }
+
+  /** Video index (video_links.csv shape, linker.py:412-421). */
+  def videoIndex(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("1", "Olavi_Martikainen_export-BroadbandHigh.mp4", null: String),
+      ("2", "Olavi_Tervo_kokonaan-BroadbandHigh.mp4, karaganda-BroadbandHigh.mp4", null: String),
+      (null: String, "Oranki-BroadbandHigh.mp4", NS.ACTORS + "person_5"),
+    ).toDF("nro", "video_files", "warsa_uri")
+  }
+
+  /** Video labels dictionary (linker.py:370-407 shape; synthetic values). */
+  def videoLabels(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("Olavi_Martikainen_export-BroadbandHigh.mp4", "Vänrikki Olavi Martikainen 1918 - 2006"),
+      ("Olavi_Tervo_kokonaan-BroadbandHigh.mp4", "Sotamies Olavi Tervo 1921 - 2006"),
+      ("karaganda-BroadbandHigh.mp4", "Karagandan muistomerkin paljastustilaisuus"),
+      ("Oranki-BroadbandHigh.mp4", "Orankin sotavankileiri nro 74"),
+    ).toDF("video_file", "label")
+  }
+
+  /** Sources register (sources_cropped.csv shape, linker.py:458-466). */
+  def sourcesRegister(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("mikrofilmi", "Mikrofilmatut kantakortit", "Kansallisarkisto"),
+      ("Talvisodan kortisto", "Talvisodan sotavankikortisto", "Kansallisarkisto"),
+      ("KA T-26073/48", "Kansallisarkiston kokoelma T-26073/48", "Kansallisarkisto"),
+      ("VM", "Vankeinhoitolaitoksen muistio", null: String),
+      ("Karaganda", "Karagandan kortisto", null: String),
+    ).toDF("label", "description", "location")
+  }
+}

@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over a `documents(doc_id, text)` table:
+  * exact, MinHash+LSH, SimHash, and n-gram Jaccard — the standard
+  * web-corpus dedup toolbox, all Spark-native.
+  *
+  * Scale design:
+  *  - exact dedup groups on a 128-bit digest, never on the full text —
+  *    the shuffle carries 32 bytes/doc, not the document;
+  *  - MinHash banding turns all-pairs into per-bucket joins; hot buckets
+  *    (boilerplate shingles) are capped with a document-frequency filter —
+  *    the same skew-mitigation idea the north rule requires for hot
+  *    entities;
+  *  - SimHash pairs only within 16-bit band collisions (4 bands → Hamming
+  *    distance ≤ 3 guaranteed recall by pigeonhole).
+  */
+object Dedup {
+
+  import TextAnalysis.tokens
+
+  /** Exact duplicates: md5 digest groups; keeps the canonical (min) id.
+    * Emits one row per duplicate group of size >= 2. */
+  def exactDuplicateGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("digest"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("canonical_id"))
+      .filter(col("n_docs") >= 2)
+
+  /** Exact dedup: keep one doc per digest (the min id). */
+  def dropExactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = docs.groupBy(md5(col(textCol)).as("digest"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Word 3-gram shingles as a distinct array column. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** MinHash signature over pre-hashed shingles: each shingle string is
+    * hashed ONCE to a long, then the `numHashes` families re-mix the longs
+    * (fixed-width, codegen-cheap) — not `numHashes` string hashes per
+    * shingle. */
+  def minhashSignatureFromHashes(hs: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      k => array_min(transform(hs, h => xxhash64(h, k))))
+
+  def minhashSignature(text: Column, numHashes: Int = 64): Column =
+    minhashSignatureFromHashes(transform(shingles(text), s => xxhash64(s)), numHashes)
+
+  /** MinHash LSH candidate pairs: signatures banded `bands` × `rowsPerBand`;
+    * docs sharing any band bucket become a candidate pair; pairs are then
+    * exactly verified with shingle-set Jaccard and filtered at `threshold`.
+    *
+    * `maxBucket` caps pathological buckets (all-identical boilerplate):
+    * a bucket with more than `maxBucket` docs contributes capped pairs via
+    * per-bucket min-id chaining instead of the full quadratic fanout.
+    */
+  def minhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                            numHashes: Int = 64, bands: Int = 16,
+                            threshold: Double = 0.7,
+                            maxBucket: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rowsPerBand = numHashes / bands
+
+    val sigs = docs.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+      .withColumn("hs", transform(col("sh"), s => xxhash64(s)))
+      .withColumn("sig", minhashSignatureFromHashes(col("hs"), numHashes))
+      .drop("hs")
+
+    val banded = sigs.select($"id", $"sh",
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice($"sig", b * rowsPerBand + lit(1), lit(rowsPerBand))))))
+      .select($"id", $"sh", concat($"pos", lit(":"), $"col").as("bucket"))
+
+    // bucket self-join with per-bucket cap: rank docs within bucket, join
+    // only rank pairs (i<j) with j-i bounded by maxBucket (salting-style
+    // bound on quadratic hot buckets)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"bucket").orderBy($"id")
+    val ranked = banded.withColumn("rk", row_number().over(w))
+    val left = ranked.select($"bucket", $"id".as("id_a"), $"sh".as("sh_a"), $"rk".as("rk_a"))
+    val right = ranked.select($"bucket".as("bucket_b"), $"id".as("id_b"),
+      $"sh".as("sh_b"), $"rk".as("rk_b"))
+    val cand = left.join(right,
+        $"bucket" === $"bucket_b" && $"rk_b" > $"rk_a" && $"rk_b" <= $"rk_a" + maxBucket)
+      .select($"id_a", $"id_b", $"sh_a", $"sh_b")
+      .dropDuplicates("id_a", "id_b")
+
+    cand
+      .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")))
+      .withColumn("jaccard",
+        $"inter" / (size($"sh_a") + size($"sh_b") - $"inter"))
+      .filter($"jaccard" >= threshold)
+      .select($"id_a", $"id_b", $"jaccard")
+  }
+
+  /** SimHash near-duplicates: 64-bit simhash, candidates = equal 16-bit
+    * band (pigeonhole guarantees recall for Hamming distance <= 3),
+    * verified with bit_count(xor) <= maxHamming. */
+  def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                            maxHamming: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = docs.select(col(idCol).as("id"),
+      Simhash.simhash64(tokens(col(textCol))).as("sig"))
+
+    val bandCols = array((0 until 4).map(b =>
+      concat(lit(b), lit(":"), shiftright($"sig", b * 16).bitwiseAND(lit(0xFFFFL)))): _*)
+    val banded = sigs.select($"id", $"sig", explode(bandCols).as("bucket"))
+
+    val l = banded.select($"bucket", $"id".as("id_a"), $"sig".as("sig_a"))
+    val r = banded.select($"bucket", $"id".as("id_b"), $"sig".as("sig_b"))
+    l.join(r, Seq("bucket")).filter($"id_b" > $"id_a")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count($"sig_a".bitwiseXOR($"sig_b")))
+      .filter($"hamming" <= maxHamming)
+      .select($"id_a", $"id_b", $"hamming")
+  }
+
+  /** Exact n-gram Jaccard similarity join (no sketching): blocks by shared
+    * shingle with a document-frequency cap, then verifies exactly. The
+    * DF cap is the hot-key mitigation: stop-shingles that appear in more
+    * than `maxDf` docs cannot be useful blocks and are dropped. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        threshold: Double = 0.5, maxDf: Int = 100): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+    val inverted = sh.select($"id", explode($"sh").as("g"))
+    val df = inverted.groupBy($"g").agg(count(lit(1)).as("df")).filter($"df" <= maxDf)
+    val useful = inverted.join(df.select("g"), Seq("g"))
+    val pairs = useful.as("a").join(useful.as("b"),
+        $"a.g" === $"b.g" && $"a.id" < $"b.id")
+      .groupBy($"a.id".as("id_a"), $"b.id".as("id_b"))
+      .agg(count(lit(1)).as("inter_blocked"))
+    pairs.join(sh.select($"id".as("id_a"), size($"sh").as("size_a")), Seq("id_a"))
+      .join(sh.select($"id".as("id_b"), size($"sh").as("size_b")), Seq("id_b"))
+      .withColumn("jaccard", $"inter_blocked" / ($"size_a" + $"size_b" - $"inter_blocked"))
+      .filter($"jaccard" >= threshold)
+      .select($"id_a", $"id_b", $"jaccard")
+  }
+}
+
+/** SimHash via a Catalyst-friendly split: per-token hash in expressions,
+  * bit aggregation in one scalar pass. */
+object Simhash {
+  import org.apache.spark.sql.functions.udf
+
+  private val agg = udf { (hashes: Seq[Long]) =>
+    val acc = new Array[Int](64)
+    hashes.foreach { h =>
+      var b = 0
+      while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** tokens column -> 64-bit simhash (xxhash64 per token, majority bits). */
+  def simhash64(tokensCol: Column): Column =
+    agg(transform(tokensCol, t => xxhash64(t)))
+}

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline side of the
+  * engine (language-ID, quality scoring, token counting, fingerprinting)
+  * over a `documents(doc_id, text, ...)` table.
+  *
+  * All of these are narrow, codegen-friendly Column expressions — no UDFs,
+  * no shuffles — so they scan at parquet-reader speed and scale linearly
+  * with input splits. Fingerprinting is the one scalar UDF (rolling-hash
+  * winnowing needs per-window state).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (python `str.split()` semantics: leading/trailing
+    * whitespace ignored, runs collapse). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: non-space chars / 4 + one boundary token per
+    * word — a deterministic stand-in for a tokenizer's token count,
+    * computable as pure integer SQL in any engine. */
+  def subwordCount(text: Column): Column =
+    floor(length(regexp_replace(text, "\\s", "")) / lit(4)).cast("int") + tokenCount(text)
+
+  /** Quality signals as exact integers (ratios computed by consumers):
+    * chars, tokens, punctuation chars, digit chars, uppercase chars,
+    * stopword hits. Exact integers keep the DuckDB oracle hash-stable. */
+  def qualityCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_chars" -> length(text),
+    "n_tokens" -> tokenCount(text),
+    "n_punct" -> (length(text) - length(regexp_replace(text, "[.,;:!?]", ""))),
+    "n_digits" -> (length(text) - length(regexp_replace(text, "[0-9]", ""))),
+    "n_upper" -> (length(text) - length(regexp_replace(text, "[A-ZÅÄÖ]", ""))),
+  )
+
+  val enStopwords = Seq("the", "a", "of", "to", "and", "in", "is", "for", "on", "with")
+  val fiStopwords = Seq("ja", "on", "ei", "se", "että", "oli", "hän", "mutta", "joka", "myös")
+
+  private def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(lower(text)), t => t.isInCollection(words)))
+
+  /** N-gram/stopword-heuristic language ID over {en, fi}: counts stopword
+    * hits per language, highest count wins, `und` on zero evidence.
+    * (The reference's corpus is Finnish; ARPA's lemmatizer fills this role
+    * there — here it is a standalone scorer.) */
+  def langScores(text: Column): (Column, Column) =
+    (stopwordHits(text, enStopwords), stopwordHits(text, fiStopwords))
+
+  def langId(text: Column): Column = {
+    val (en, fi) = langScores(text)
+    when(en > fi, "en").when(fi > en, "fi")
+      .when(en === 0 && fi === 0, "und")
+      .otherwise("und")
+  }
+
+  /** Document fingerprint: winnowing-style rolling-hash sketch — minimum
+    * xxhash64 over each window of `w` consecutive token 3-grams, distinct.
+    * Standard winnowing (Schleimer et al., SIGMOD'03 — public algorithm). */
+  def fingerprints(df: DataFrame, textCol: String, w: Int = 4): DataFrame = {
+    val toks = tokens(col(textCol))
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - 3, lit(0))),
+      i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(3)))))
+    val windows = transform(
+      sequence(lit(0), greatest(size(grams) - w, lit(0))),
+      i => array_min(slice(grams, i + 1, lit(w))))
+    df.withColumn("fingerprint", array_distinct(windows))
+  }
+}

@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.canon.ConnectedComponents
+import graft.erlink.RecordLinkage
+import graft.events.Events
+import graft.extract.Extraction
+import graft.gazetteer.Gazetteers
+import graft.link.Linkers
+import graft.model.NS
+import graft.privacy.Privacy
+
+/** The full KG-construction pipeline: extract → prune → link → er-link →
+  * canonicalize → materialize events → final predicate-partitioned store.
+  *
+  * This is the Spark re-expression of the reference's `process.sh` DAG
+  * (reference: process.sh:19-137): the reference's per-stage TTL files +
+  * Fuseki round-trips become versioned snapshot tables; stage boundaries
+  * are exactly the places the reference could resume from, so resume-from-
+  * checkpoint falls out of the snapshot layer (kill the JVM anywhere — on
+  * restart, committed stages are read back, the interrupted stage recomputes).
+  *
+  * Stage metrics (extraction error rate, per-task link hit counts — the
+  * reference's log counters, linker.py:309-311) land in each stage manifest.
+  *
+  * Shuffle budget (SURVEY.md §4): extraction is narrow; every gazetteer
+  * join broadcasts; the only wide exchanges are the triple-set dedup, the
+  * ER candidate join (salted), connected components (iterative), and the
+  * final `partitionBy(pred_key)` write.
+  */
+object Pipeline {
+
+  /** Derived physical partition key: predicate local name (the north
+    * rule's "partitioned by predicate"; raw URIs make bad dir names). */
+  def withPredKey(df: DataFrame): DataFrame =
+    df.withColumn("pred_key", regexp_replace(
+      regexp_extract(col("pred"), "([^/#]+)[/#]?$", 1), "[^A-Za-z0-9_.-]", "_"))
+
+  def run(spark: SparkSession, docs: DataFrame, workDir: String,
+          today: java.time.LocalDate = java.time.LocalDate.now()): DataFrame = {
+    import spark.implicits._
+    val store = new SnapshotStore(spark, workDir)
+
+    // -- 1. extraction ----------------------------------------------------
+    val extracted = store.stage("extract",
+      metrics = df => Map("triples" -> df.count())) {
+      Extraction.triples(docs).toDF()
+    }
+    store.stage("extract_errors",
+      metrics = df => Map("errors" -> df.count())) {
+      Extraction.errors(docs).toDF()
+    }
+
+    // -- 2. privacy pruning (process.sh:25-28 runs before linking) --------
+    val endpointNames = spark.emptyDataFrame
+      .sparkSession.createDataFrame(Seq.empty[(String, Long)]).toDF("fam", "count")
+    val pruned = store.stage("pruned") {
+      Privacy.prunePersons(extracted, endpointNames, today)
+    }
+
+    // -- 3. linking (process.sh:30-96) ------------------------------------
+    val linked = store.stage("linked", metrics = df => Map("links" -> df.count())) {
+      val ranksGaz = Gazetteers.ranks(spark)
+      val periods = Linkers.docPeriods(pruned)
+      val links =
+        Linkers.linkRanks(pruned, ranksGaz)
+          .unionByName(Linkers.linkCamps(pruned, Gazetteers.camps(spark)))
+          .unionByName(Linkers.linkMunicipalities(pruned, Gazetteers.municipalities(spark)))
+          .unionByName(Linkers.linkPnrDeathMunicipality(pruned, Gazetteers.pnrPlaces(spark)))
+          .unionByName(Linkers.linkOccupations(pruned, Gazetteers.occupations(spark)))
+          .unionByName(Linkers.linkUnits(pruned, Gazetteers.units(spark), periods))
+          .unionByName(Linkers.linkMagazines(pruned, Gazetteers.magazineIndex(spark))._1)
+      links
+    }
+
+    // -- 4. person record linkage (J9) ------------------------------------
+    val personLinks = store.stage("person_links",
+      metrics = df => Map("links" -> df.count())) {
+      RecordLinkage.linkPersons(pruned.unionByName(linked),
+        Gazetteers.ranks(spark), Gazetteers.persons(spark))
+    }
+
+    // -- 5. sources rewrite (linker.py:453-509, in-place) -----------------
+    val withSources = store.stage("sourced") {
+      val all = pruned.unionByName(linked).unionByName(personLinks)
+      val (added, removed) = Linkers.linkSources(all, Gazetteers.sourcesRegister(spark))
+      all.join(removed,
+          Seq("subj", "pred", "objValue", "objIsUri", "objLang", "objDatatype", "docId"),
+          "left_anti")
+        .unionByName(added)
+        .dropDuplicates("subj", "pred", "objValue", "objIsUri", "objLang", "objDatatype")
+    }
+
+    // -- 6. canonicalization (connected components over person links) -----
+    val canonical = store.stage("canonical") {
+      val edges = ConnectedComponents.edgesFromLinks(
+        withSources.filter($"pred" === (NS.CRM + "P70_documents")))
+      ConnectedComponents.canonicalizeTriples(withSources, edges)
+    }
+
+    // -- 7. event materialization (process.sh:98-124) ---------------------
+    val withEvents = store.stage("events") {
+      val frame = Events.recordFrame(canonical)
+      val none = canonical.limit(0)
+      val mediaPreds = Seq(NS.SCHEMA_WARSA + "sotilaan_aani_magazine",
+        NS.SCHEMA_WARSA + "person_document", NS.SCHEMA_WARSA + "documented_in_video",
+        NS.BIOC + "has_occupation")
+      val linkedMedia = canonical.filter($"pred".isin(mediaPreds: _*))
+      val events =
+        Events.people(frame, linkedMedia)
+          .unionByName(Events.births(frame, none))
+          .unionByName(Events.deaths(frame, none))
+          .unionByName(Events.captures(frame))
+          .unionByName(Events.disappearances(frame, none))
+          .unionByName(Events.promotions(canonical, frame, Gazetteers.ranks(spark)))
+          .unionByName(Events.unitJoinings(canonical, frame))
+          .unionByName(Events.relatedPeriods(canonical))
+          .unionByName(Events.invertDocumentsLinks(canonical))
+          .unionByName(Events.campCoordinates(Gazetteers.camps(spark)))
+      canonical.unionByName(events)
+        .dropDuplicates("subj", "pred", "objValue", "objIsUri", "objLang", "objDatatype")
+    }
+
+    // -- 8. final store: triples partitioned by predicate -----------------
+    store.stage("final", partitionCols = Seq("pred_key"),
+      metrics = df => Map("triples" -> df.count())) {
+      withPredKey(withEvents)
+    }
+  }
+}

@@ -1,0 +1,128 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned-snapshot table layer — the checkpoint/resume contract of the
+  * north rule (Iceberg-style snapshots; no Iceberg runtime jar ships in
+  * this sandbox, so the same contract — snapshot ids, manifests with
+  * per-partition lineage + metrics, atomic commit, resume-from-latest — is
+  * implemented as a thin Parquet+manifest layer behind one interface;
+  * SURVEY.md §7.3).
+  *
+  * Layout per stage:
+  * {{{
+  *   <workDir>/<stage>/v=<n>/part-*.parquet     (optionally partitioned)
+  *   <workDir>/<stage>/v=<n>/_MANIFEST.json     (commit marker, written last)
+  * }}}
+  * A snapshot is visible iff its manifest exists — the manifest write is
+  * the atomic commit point (write-temp + rename). Resume = read highest
+  * committed version; an interrupted write leaves no manifest and is
+  * ignored/overwritten.
+  *
+  * The manifest records row count, caller-supplied metrics (extraction /
+  * link rates), and per-partition-file lineage (file → rows) so a resumed
+  * run can verify inputs and a scheduler can re-derive any partition.
+  */
+final class SnapshotStore(spark: SparkSession, workDir: String) {
+
+  private val fs = FileSystem.get(
+    new java.net.URI(workDir),
+    spark.sparkContext.hadoopConfiguration)
+
+  private def stageDir(stage: String) = new Path(workDir, stage)
+  private def versionDir(stage: String, v: Int) = new Path(stageDir(stage), s"v=$v")
+  private def manifestPath(stage: String, v: Int) = new Path(versionDir(stage, v), "_MANIFEST.json")
+
+  /** Highest committed version of a stage, if any. */
+  def latestVersion(stage: String): Option[Int] = {
+    val dir = stageDir(stage)
+    if (!fs.exists(dir)) return None
+    val versions = fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("v=") => s.stripPrefix("v=").toInt }
+      .filter(v => fs.exists(manifestPath(stage, v)))
+    if (versions.isEmpty) None else Some(versions.max)
+  }
+
+  def exists(stage: String): Boolean = latestVersion(stage).isDefined
+
+  def read(stage: String): DataFrame = {
+    val v = latestVersion(stage).getOrElse(
+      sys.error(s"no committed snapshot for stage '$stage' under $workDir"))
+    spark.read.parquet(versionDir(stage, v).toString)
+  }
+
+  def readManifest(stage: String): String = {
+    val v = latestVersion(stage).getOrElse(sys.error(s"no snapshot for '$stage'"))
+    val in = fs.open(manifestPath(stage, v))
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+  }
+
+  /** Write a new snapshot version. `partitionCols` become physical
+    * partitions (e.g. predicate partitioning of the triples table). */
+  def write(stage: String, df: DataFrame, partitionCols: Seq[String] = Nil,
+            metrics: Map[String, Long] = Map.empty): Int = {
+    val v = latestVersion(stage).map(_ + 1).getOrElse(0)
+    val dir = versionDir(stage, v)
+    val writer = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(dir.toString)
+
+    // per-partition lineage: every data file with its size (row-level
+    // lineage is carried IN the data as the docId column)
+    val files = listFilesRec(dir).filter(_.getName.endsWith(".parquet"))
+      .map(f => s"""    {"file": ${js(rel(dir, f))}, "bytes": ${fs.getFileStatus(f).getLen}}""")
+    val rows = spark.read.parquet(dir.toString).count()
+
+    val manifest =
+      s"""{
+         |  "stage": ${js(stage)},
+         |  "version": $v,
+         |  "rows": $rows,
+         |  "partition_columns": [${partitionCols.map(js).mkString(", ")}],
+         |  "metrics": {${metrics.map { case (k, x) => s"${js(k)}: $x" }.mkString(", ")}},
+         |  "files": [
+         |${files.mkString(",\n")}
+         |  ]
+         |}""".stripMargin
+
+    val tmp = new Path(dir, "._MANIFEST.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(manifest.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    fs.rename(tmp, manifestPath(stage, v)) // atomic commit
+    v
+  }
+
+  /** Run-or-resume: if a committed snapshot exists, read it; otherwise
+    * compute, commit, and read back (so downstream always consumes the
+    * materialized — deterministic — bytes). */
+  def stage(name: String, partitionCols: Seq[String] = Nil,
+            metrics: DataFrame => Map[String, Long] = _ => Map.empty)
+           (compute: => DataFrame): DataFrame = {
+    if (!exists(name)) {
+      val df = compute
+      write(name, df, partitionCols, metrics(df))
+    }
+    read(name)
+  }
+
+  def invalidate(stage: String): Unit = {
+    val dir = stageDir(stage)
+    if (fs.exists(dir)) fs.delete(dir, true)
+  }
+
+  private def listFilesRec(dir: Path): Seq[Path] = {
+    val it = fs.listFiles(dir, true)
+    val buf = scala.collection.mutable.ArrayBuffer[Path]()
+    while (it.hasNext) buf += it.next().getPath
+    buf.toSeq
+  }
+  private def rel(base: Path, p: Path): String =
+    p.toString.stripPrefix(base.toString).stripPrefix("/")
+  private def js(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+}

@@ -1,0 +1,152 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.erlink.RecordLinkage
+import graft.events.Events
+import graft.extract.{Extraction, SynthDocs}
+import graft.gazetteer.Gazetteers
+import graft.link.Linkers
+import graft.model.NS
+
+/** Entity-linking operators (J1-J13) + event materialization over the
+  * synthetic corpus and hand-built micro-fixtures. */
+class LinkersSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val triples =
+    Extraction.triples(SynthDocs.fromDocuments(spark, "/root/testdata/sf0.001")).toDF()
+      .persist()
+
+  test("rank linking: abbreviation + label equi-join (J5)") {
+    val links = Linkers.linkRanks(triples, Gazetteers.ranks(spark))
+    assert(links.count() > 0)
+    val preds = links.select("pred").distinct().as[String].collect()
+    assert(preds.sameElements(Array(NS.SCHEMA_POW + "rank")))
+    // every link target is a known rank URI
+    val targets = links.select("objValue").distinct().as[String].collect()
+    assert(targets.forall(_.startsWith(NS.RANKS)))
+    // abbreviation expansion: "korpr" (fixture CSV form) resolves
+    val fixture = Seq(
+      (NS.DATA + "p1", NS.SCHEMA_POW + "rank_literal", "korpr", false, null: String, null: String, "p1"),
+      (NS.DATA + "p2", NS.SCHEMA_POW + "rank_literal", "siv", false, null: String, null: String, "p2"),
+    ).toDF("subj", "pred", "objValue", "objIsUri", "objLang", "objDatatype", "docId")
+    val fx = Linkers.linkRanks(fixture, Gazetteers.ranks(spark))
+      .select("subj", "objValue").as[(String, String)].collect().toMap
+    assert(fx(NS.DATA + "p1") == NS.RANKS + "Korpraali")
+    assert(fx(NS.DATA + "p2") == NS.RANKS + "Siviili")
+  }
+
+  test("occupation fuzzy linking at 0.84 (J6)") {
+    val fixture = Seq(
+      (NS.DATA + "p1", NS.SCHEMA_POW + "occupation_literal", "sekatyomies", false, null: String, null: String, "p1"), // typo'd
+      (NS.DATA + "p2", NS.SCHEMA_POW + "occupation_literal", "posteljooni", false, null: String, null: String, "p2"), // exact
+      (NS.DATA + "p3", NS.SCHEMA_POW + "occupation_literal", "astronautti", false, null: String, null: String, "p3"), // no match
+    ).toDF("subj", "pred", "objValue", "objIsUri", "objLang", "objDatatype", "docId")
+    val links = Linkers.linkOccupations(fixture, Gazetteers.occupations(spark))
+      .select("subj", "objValue").as[(String, String)].collect().toMap
+    assert(links.contains(NS.DATA + "p1"), "fuzzy match above 0.84 expected")
+    assert(links(NS.DATA + "p2").endsWith("posteljooni"))
+    assert(!links.contains(NS.DATA + "p3"))
+  }
+
+  test("unit linking: n-gram candidates + covernumber + period preference (J7/J8)") {
+    val fixture = Seq(
+      (NS.DATA + "p1", NS.SCHEMA_POW + "unit_literal", "1./JR 3 konekivääri", false, null: String, null: String, "p1"),
+      (NS.DATA + "p2", NS.SCHEMA_POW + "unit_literal", "1025", false, null: String, null: String, "p2"), // covernumber of JR 25
+    ).toDF("subj", "pred", "objValue", "objIsUri", "objLang", "objDatatype", "docId")
+    val periods = Seq(("p1", "http://ldf.fi/warsa/conflicts/WinterWar"))
+      .toDF("docId", "period_uri")
+    val links = Linkers.linkUnits(fixture, Gazetteers.units(spark), periods)
+      .select("subj", "objValue").as[(String, String)].collect().toMap
+    assert(links(NS.DATA + "p1") == NS.ACTORS + "actor_3")
+    assert(links(NS.DATA + "p2") == NS.ACTORS + "actor_25")
+  }
+
+  test("municipality + camp linking over synthetic corpus (J2/J3)") {
+    val mun = Linkers.linkMunicipalities(triples, Gazetteers.municipalities(spark))
+    assert(mun.count() > 0)
+    assert(mun.select("pred").distinct().count() >= 1)
+    // camps link from captivity location_literal
+    val camps = Linkers.linkCamps(triples, Gazetteers.camps(spark))
+    assert(camps.count() > 0)
+  }
+
+  test("magazine multimap + sources rewrite (J10/J13)") {
+    val fixture = Seq(
+      (NS.DATA + "p1", NS.SCHEMA_POW + "sotilaan_aani", "nro 5/1942", false, null: String, null: String, "p1"),
+      (NS.DATA + "p1", NS.DCT_SOURCE, "mikrofilmi", false, null: String, null: String, "p1"),
+      (NS.DATA + "p2", NS.DCT_SOURCE, "jokin uusi lähde", false, null: String, null: String, "p2"),
+    ).toDF("subj", "pred", "objValue", "objIsUri", "objLang", "objDatatype", "docId")
+
+    val (links, docs) = Linkers.linkMagazines(fixture, Gazetteers.magazineIndex(spark))
+    assert(links.count() == 1)
+    assert(docs.filter($"pred" === NS.RDF_TYPE).count() > 0)
+
+    val (added, removed) = Linkers.linkSources(fixture, Gazetteers.sourcesRegister(spark))
+    assert(removed.count() == 2) // both literals rewritten
+    val rewritten = added.filter($"pred" === NS.DCT_SOURCE)
+      .select("objValue").as[String].collect()
+    assert(rewritten.forall(_.startsWith(NS.DATA + "source_")))
+    // register-known source gets the register description as label;
+    // unknown source minted on the fly with the literal as label
+    val labels = added.filter($"pred" === NS.SKOS_PREF_LABEL)
+      .select("subj", "objValue").as[(String, String)].collect().toMap
+    assert(labels(NS.DATA + "source_mikrofilmi") == "Mikrofilmatut kantakortit")
+    assert(labels(NS.DATA + "source_jokin-uusi-lahde") == "jokin uusi lähde")
+  }
+
+  test("person-document regex linking (J11)") {
+    val paths = Seq(
+      "data/person_documents/returned/123_scan.pdf",
+      "data/person_documents/winterwar_interrogation/7_form.pdf",
+      "data/person_documents/misc/readme.txt",
+    ).toDF("path")
+    val (links, docs) = Linkers.linkPersonDocuments(paths)
+    val got = links.select("subj").as[String].collect().toSet
+    assert(got == Set(NS.DATA + "prisoner_123", NS.DATA + "prisoner_7"))
+    assert(docs.filter($"pred" === (NS.SCHEMA_ORG + "contentUrl")).count() == 2)
+  }
+
+  test("record linkage end-to-end: features, salted blocking, threshold (J9)") {
+    val links = RecordLinkage.linkPersons(triples, Gazetteers.ranks(spark),
+      Gazetteers.persons(spark))
+    val n = links.count()
+    assert(n > 0, "expected some person links from the aligned synth distributions")
+    // deterministic across runs
+    val n2 = RecordLinkage.linkPersons(triples, Gazetteers.ranks(spark),
+      Gazetteers.persons(spark)).count()
+    assert(n == n2)
+  }
+
+  test("events: birth/capture/period materialization") {
+    val ranksGaz = Gazetteers.ranks(spark)
+    val linked = triples
+      .unionByName(Linkers.linkRanks(triples, ranksGaz))
+      .unionByName(RecordLinkage.linkPersons(triples, ranksGaz, Gazetteers.persons(spark)))
+    val frame = Events.recordFrame(linked)
+    val none = linked.limit(0)
+
+    val births = Events.births(frame, none)
+    assert(births.filter($"pred" === NS.RDF_TYPE &&
+      $"objValue" === (NS.SCHEMA_WARSA + "Birth")).count() > 0)
+    // time-span resources minted and typed
+    assert(births.filter($"pred" === NS.RDF_TYPE &&
+      $"objValue" === (NS.CRM + "E52_Time-Span")).count() > 0)
+
+    val captures = Events.captures(frame)
+    assert(captures.count() > 0, "captures need linked persons (old_uri)")
+
+    val periods = Events.relatedPeriods(linked)
+    val wars = periods.select("objValue").distinct().as[String].collect().toSet
+    assert(wars.subsetOf(Set("http://ldf.fi/warsa/conflicts/WinterWar",
+      "http://ldf.fi/warsa/conflicts/ContinuationWar")))
+    assert(periods.count() > 0)
+
+    val backlinks = Events.invertDocumentsLinks(linked)
+    assert(backlinks.count() == linked.filter($"pred" === (NS.CRM + "P70_documents")).count())
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators: dedup family, similarity search,
+  * text analysis, multimodal plumbing. */
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (4L, "ja on ei se että oli hän mutta joka myös"),      // finnish
+    (5L, "completely different content about spark engines and parquet files"),
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: digest groups + canonical keep") {
+    val groups = Dedup.exactDuplicateGroups(docs, "doc_id", "text").collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("n_docs") == 2)
+    assert(groups.head.getAs[Long]("canonical_id") == 1)
+    val kept = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(1L, 2L, 4L, 5L)))
+  }
+
+  test("ngram jaccard: finds the near-dup pair, not the unrelated ones") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 1L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((3L, 1L))) // exact pair too
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("minhash LSH: near-dup recall with verification") {
+    val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)), "exact dup must collide in every band")
+    assert(pairs.contains((1L, 2L)), "near dup should survive at 0.5")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("simhash: identical docs collide at hamming 0") {
+    val pairs = Dedup.simhashNearDuplicates(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 3L)
+    assert(exact.isDefined && exact.get._3 == 0)
+  }
+
+  test("language id: stopword heuristic") {
+    val got = docs.select($"doc_id", TextAnalysis.langId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en" && got(4L) == "fi")
+  }
+
+  test("token counting and quality counts") {
+    val row = docs.filter($"doc_id" === 1)
+      .select(TextAnalysis.tokenCount($"text").as("n"),
+        TextAnalysis.subwordCount($"text").as("sw")).head()
+    assert(row.getInt(0) == 9)
+    assert(row.getInt(1) > 9)
+  }
+
+  test("fingerprints: stable, near-dups share grams") {
+    val fp = TextAnalysis.fingerprints(docs, "text")
+      .select($"doc_id", $"fingerprint").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fp(1L) == fp(3L), "identical docs -> identical fingerprint")
+    assert(fp(1L).intersect(fp(2L)).nonEmpty, "near-dups share fingerprint grams")
+    assert(fp(1L).intersect(fp(5L)).isEmpty)
+  }
+
+  test("cosine top-k: self excluded, ranks deterministic, exact vs lsh consistent") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 3)
+    val exact = Similarity.cosineTopK(emb, q, k = 5).collect()
+    assert(exact.length == 15)
+    assert(!exact.exists(r => r.getLong(0) == r.getLong(1)))
+    // rank 1 per query has the max cosine
+    val byQuery = exact.groupBy(_.getLong(0))
+    byQuery.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(2))
+      assert(sorted.map(_.getDouble(3)).sliding(2).forall(p => p.head >= p.last - 1e-12))
+    }
+    // LSH candidates are a subset with the same scoring
+    val lsh = Similarity.cosineTopKLsh(emb, q, k = 5).collect()
+    assert(lsh.nonEmpty)
+    val exactSet = exact.map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    val exactPairs = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      if (exactPairs.contains(key))
+        assert(exactSet.exists(e => e._1 == key._1 && e._2 == key._2 &&
+          math.abs(e._3 - r.getDouble(3)) < 1e-12))
+    }
+  }
+
+  test("multimodal: schema, batched stub decode, frame sampling") {
+    val media = Multimodal.mediaTable(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val feats = Multimodal.extractFeatures(media)
+    val f = feats.head()
+    assert(f.features.length == 8 && f.n_bytes > 0)
+    // determinism: same payload -> same checksum across runs
+    val c1 = feats.filter($"doc_id" === 0).head().checksum
+    val c2 = Multimodal.extractFeatures(media).filter($"doc_id" === 0).head().checksum
+    assert(c1 == c2)
+    val frames = Multimodal.sampleFrames(media, n = 4)
+    assert(frames.groupBy("doc_id").count().select(max("count")).head().getLong(0) == 4)
+  }
+}

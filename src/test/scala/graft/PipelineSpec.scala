@@ -1,0 +1,123 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.canon.ConnectedComponents
+import graft.extract.SynthDocs
+import graft.model.NS
+import graft.pipeline.{Pipeline, SnapshotStore}
+
+class PipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val today = java.time.LocalDate.of(2026, 8, 16)
+
+  test("connected components: min-label propagation to fixpoint") {
+    val edges = Seq(
+      ("b", "a"), ("c", "b"),          // chain -> comp a
+      ("x", "y"),                      // pair  -> comp x
+      ("p", "q"), ("q", "r"), ("r", "s"), ("s", "p"), // cycle -> comp p
+    ).toDF("src", "dst")
+    val comps = ConnectedComponents.components(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comps("a") == "a" && comps("b") == "a" && comps("c") == "a")
+    assert(comps("x") == "x" && comps("y") == "x")
+    assert(Set("p", "q", "r", "s").forall(comps(_) == "p"))
+  }
+
+  test("snapshot store: versioning, manifest, resume") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
+    val store = new SnapshotStore(spark, dir)
+    assert(!store.exists("s1"))
+
+    var computed = 0
+    def compute = { computed += 1; Seq((1, "a"), (2, "b")).toDF("id", "v") }
+    val d1 = store.stage("s1", metrics = df => Map("rows" -> df.count()))(compute)
+    assert(computed == 1 && d1.count() == 2)
+
+    // resume: second run must NOT recompute
+    val d2 = store.stage("s1")(compute)
+    assert(computed == 1 && d2.count() == 2)
+
+    val manifest = store.readManifest("s1")
+    assert(manifest.contains("\"rows\": 2") && manifest.contains("\"version\": 0"))
+
+    // new version on explicit write
+    val v = store.write("s1", Seq((3, "c")).toDF("id", "v"))
+    assert(v == 1 && store.read("s1").count() == 1)
+  }
+
+  test("full pipeline over synthetic docs: stages commit, output sane, resume identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pipe").toString
+    val docs = SynthDocs.fromDocuments(spark, "/root/testdata/sf0.001")
+
+    val out1 = Pipeline.run(spark, docs, dir, today)
+    val n1 = out1.count()
+    assert(n1 > 0)
+    val k1 = out1.select("subj", "pred", "objValue").as[(String, String, String)]
+      .collect().toSet
+
+    // linked triples exist (rank links over the synthetic rank literals)
+    val preds = out1.select("pred").distinct().as[String].collect().toSet
+    assert(preds.contains(NS.SCHEMA_POW + "rank"), "rank links missing")
+    assert(preds.contains(NS.BIOC + "has_occupation"), "occupation links missing")
+    assert(preds.contains(NS.SCHEMA_WARSA + "municipality_of_birth"), "municipality links missing")
+    assert(preds.contains(NS.CRM + "P70_documents"), "person links missing")
+    assert(preds.exists(_.contains("related_period")), "periods missing")
+    assert(preds.contains(NS.RDF_TYPE))
+
+    // event entities minted
+    val types = out1.filter($"pred" === NS.RDF_TYPE)
+      .select("objValue").distinct().as[String].collect().toSet
+    assert(types.contains(NS.SCHEMA_WARSA + "Birth"), "birth events missing")
+    assert(types.contains(NS.SCHEMA_WARSA + "Capture"), "capture events missing")
+    assert(types.contains(NS.SCHEMA_WARSA + "Person"), "person entities missing")
+
+    // kill-and-resume: wipe the last two stages, rerun -> identical output
+    val store = new SnapshotStore(spark, dir)
+    store.invalidate("final")
+    store.invalidate("events")
+    val out2 = Pipeline.run(spark, docs, dir, today)
+    assert(out2.count() == n1)
+    val k2 = out2.select("subj", "pred", "objValue").as[(String, String, String)]
+      .collect().toSet
+    assert(k1 == k2, "resumed run diverged from original")
+
+    // predicate partitioning materialized on disk
+    val finalDir = new java.io.File(s"$dir/final/v=0")
+    assert(finalDir.listFiles().exists(_.getName.startsWith("pred_key=")),
+      "final store not partitioned by predicate")
+  }
+
+  test("privacy: subjects preserved, possibly-alive redacted (tests.py:117-129)") {
+    import graft.privacy.Privacy
+    val docs = SynthDocs.fromDocuments(spark, "/root/testdata/sf0.001")
+    val triples = graft.extract.Extraction.triples(docs).toDF()
+    val endpoint = Seq(("Virtanen", 3L), ("Korhonen", 5L)).toDF("fam", "count")
+
+    val pruned = Privacy.prunePersons(triples, endpoint, today)
+
+    // person records are redacted, never dropped (reification nodes of
+    // hidden statements DO disappear — the reference removes those too,
+    // prune_nonpublic.py:65-78)
+    def recordSubjects(df: org.apache.spark.sql.DataFrame) = df
+      .filter($"pred" === NS.RDF_TYPE && $"objValue" === (NS.SCHEMA_WARSA + "PrisonerRecord"))
+      .select("subj").distinct().as[String].collect().toSet
+    val before = recordSubjects(triples)
+    val after = recordSubjects(pruned)
+    assert(before == after, s"lost records: ${(before -- after).take(5)}")
+
+    // possibly-alive records got flagged and their given names removed
+    val flagged = pruned
+      .filter($"pred" === (NS.SCHEMA_POW + "personal_information_removed"))
+      .select("subj").as[String].collect().toSet
+    if (flagged.nonEmpty) {
+      val givenOf = pruned.filter($"pred" === (NS.SCHEMA_WARSA + "given_names"))
+        .select("subj").as[String].collect().toSet
+      assert(flagged.intersect(givenOf).isEmpty, "redacted person kept given_names")
+    }
+  }
+}
