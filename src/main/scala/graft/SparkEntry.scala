@@ -296,9 +296,37 @@ object SparkEntry {
     "embed_cosine_lsh" -> ((s, d) => {
       import s.implicits._
       val emb = tWide(s, d, "embeddings")
-      Similarity.cosineTopKLsh(emb, emb.filter($"vec_id" < 8), k = 5)
+      Similarity.cosineTopKLsh(emb, emb.filter($"vec_id" < 8), k = 5, bits = 8)
         .select($"query_id", $"neighbor_id", $"rank")
         .orderBy($"query_id", $"rank")
+    }),
+
+    // ---- U2: set subtraction (EXCEPT) --------------------------------------
+    "u2_except" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "customer").select($"c_nationkey".cast("int").as("x"))
+        .except(t(s, d, "supplier").select($"s_nationkey".cast("int").as("x")))
+        .orderBy($"x")
+    }),
+
+    // ---- A3: max-over-joined-dimension (rank-level fold shape) ------------
+    "a3_join_max" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), $"l_partkey" === $"p_partkey")
+        .groupBy($"l_suppkey")
+        .agg(max($"p_retailprice").cast("decimal(18,2)").cast("string").as("max_price"),
+          countDistinct($"p_brand").as("n_brands"))
+        .orderBy($"l_suppkey")
+    }),
+
+    // ---- O1/S12: canonical global sort (deterministic serialization) ------
+    "o1_canonical_sort" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "nation")
+        .join(broadcast(t(s, d, "region")), $"n_regionkey" === $"r_regionkey")
+        .select(concat($"r_name", lit("/"), $"n_name").as("path"))
+        .orderBy($"path")
     }),
 
     // ---- KG pipeline over the synthesized doc table (rows-only) -----------
@@ -458,6 +486,24 @@ object SparkEntry {
         |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
         |  length(text) - length(regexp_replace(text, '[A-ZÅÄÖ]', '', 'g')) AS n_upper
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "u2_except" ->
+      """SELECT x FROM (
+        |  SELECT CAST(c_nationkey AS INT) AS x FROM customer
+        |  EXCEPT
+        |  SELECT CAST(s_nationkey AS INT) AS x FROM supplier) ORDER BY x""".stripMargin,
+
+    "a3_join_max" ->
+      """SELECT l_suppkey,
+        |  CAST(CAST(max(p_retailprice) AS DECIMAL(18,2)) AS VARCHAR) AS max_price,
+        |  count(DISTINCT p_brand) AS n_brands
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "o1_canonical_sort" ->
+      """SELECT r_name || '/' || n_name AS path
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY path""".stripMargin,
 
     "text_lang_id" ->
       """WITH sc AS (
