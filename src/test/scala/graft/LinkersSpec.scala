@@ -122,6 +122,33 @@ class LinkersSpec extends AnyFunSuite {
     assert(n == n2)
   }
 
+  test("record linkage semantic accuracy: linked person shares name + birth window") {
+    val ranksGaz = Gazetteers.ranks(spark)
+    val personsGaz = Gazetteers.persons(spark)
+    val feats = RecordLinkage.prisonerFeatures(triples, ranksGaz)
+    val links = RecordLinkage.scorePairs(
+      RecordLinkage.candidatePairs(feats, personsGaz), feats, personsGaz)
+
+    val joined = links
+      .join(feats.select($"person_uri".as("prisoner"), $"given".as("p_given"),
+        $"family".as("p_family"), $"birth_begin".as("p_bb")), Seq("prisoner"))
+      .join(personsGaz.select($"person", $"given".as("g_given"),
+        $"family".as("g_family"), $"birth_begin".as("g_bb")), Seq("person"))
+      .collect()
+    assert(joined.nonEmpty)
+    // every accepted link must agree on family name; most on given + birth
+    joined.foreach { r =>
+      assert(r.getAs[String]("p_family") == r.getAs[String]("g_family"),
+        s"family mismatch in accepted link: $r")
+    }
+    val exact = joined.count(r =>
+      r.getAs[String]("p_given") == r.getAs[String]("g_given") &&
+        (r.getAs[String]("p_bb") == null ||
+          r.getAs[String]("p_bb") == r.getAs[String]("g_bb")))
+    assert(exact.toDouble / joined.length >= 0.95,
+      s"only $exact/${joined.length} links agree on given+birth")
+  }
+
   test("events: birth/capture/period materialization") {
     val ranksGaz = Gazetteers.ranks(spark)
     val linked = triples
