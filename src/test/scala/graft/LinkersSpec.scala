@@ -149,6 +149,28 @@ class LinkersSpec extends AnyFunSuite {
       s"only $exact/${joined.length} links agree on given+birth")
   }
 
+  test("events: anti-join guard suppresses already-evented persons (J15)") {
+    val ranksGaz = Gazetteers.ranks(spark)
+    val linked = triples.unionByName(
+      RecordLinkage.linkPersons(triples, ranksGaz, Gazetteers.persons(spark)))
+    val frame = Events.recordFrame(linked)
+    val none = linked.limit(0)
+
+    val all = Events.births(frame, none)
+    val allBirths = all.filter($"pred" === NS.RDF_TYPE &&
+      $"objValue" === (NS.SCHEMA_WARSA + "Birth")).count()
+    assert(allBirths > 1)
+
+    // pretend half the persons already have Birth events -> guarded out
+    val existing = all.filter($"pred" === (NS.CRM + "P98_brought_into_life"))
+      .limit((allBirths / 2).toInt)
+    val guarded = Events.births(frame, existing)
+    val remaining = guarded.filter($"pred" === NS.RDF_TYPE &&
+      $"objValue" === (NS.SCHEMA_WARSA + "Birth")).count()
+    assert(remaining == allBirths - allBirths / 2,
+      s"guard removed ${allBirths - remaining} of $allBirths")
+  }
+
   test("events: birth/capture/period materialization") {
     val ranksGaz = Gazetteers.ranks(spark)
     val linked = triples
