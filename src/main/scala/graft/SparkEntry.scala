@@ -225,7 +225,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => {
       import s.implicits._
       Dedup.ngramJaccardPairs(tWide(s, d, "documents"), "doc_id", "text",
-          threshold = 0.5, maxDf = 1000)
+          threshold = 0.5)
         .orderBy($"id_a", $"id_b")
     }),
 

@@ -125,25 +125,58 @@ object Dedup {
       .select($"id_a", $"id_b", $"hamming")
   }
 
-  /** Exact n-gram Jaccard similarity join (no sketching): blocks by shared
-    * shingle with a document-frequency cap, then verifies exactly. The
-    * DF cap is the hot-key mitigation: stop-shingles that appear in more
-    * than `maxDf` docs cannot be useful blocks and are dropped. */
+  /** Exact n-gram Jaccard similarity join with PREFIX FILTERING (the
+    * SSJoin/PPJoin blocking idea — public algorithm, Chaudhuri et al.
+    * ICDE'06): order each doc's shingles by a global order (their hash),
+    * index only the first ⌊(1-t)·|sh|⌋+1 of them — any pair with
+    * J ≥ t MUST share a prefix shingle, so recall is complete while the
+    * inverted index and the candidate join shrink superlinearly with t.
+    * Verification is exact (`array_intersect` on the full sets), so the
+    * result is identical to the unblocked all-pairs join. A per-shingle
+    * document-frequency cap additionally drops boilerplate stop-shingles
+    * (hot-key mitigation); it is OFF by default because it can cost
+    * recall — enable for corpora with known boilerplate. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        threshold: Double = 0.5, maxDf: Int = 100): DataFrame = {
+                        threshold: Double = 0.5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
-    val inverted = sh.select($"id", explode($"sh").as("g"))
-    val df = inverted.groupBy($"g").agg(count(lit(1)).as("df")).filter($"df" <= maxDf)
-    val useful = inverted.join(df.select("g"), Seq("g"))
-    val pairs = useful.as("a").join(useful.as("b"),
-        $"a.g" === $"b.g" && $"a.id" < $"b.id")
-      .groupBy($"a.id".as("id_a"), $"b.id".as("id_b"))
-      .agg(count(lit(1)).as("inter_blocked"))
-    pairs.join(sh.select($"id".as("id_a"), size($"sh").as("size_a")), Seq("id_a"))
-      .join(sh.select($"id".as("id_b"), size($"sh").as("size_b")), Seq("id_b"))
-      .withColumn("jaccard", $"inter_blocked" / ($"size_a" + $"size_b" - $"inter_blocked"))
+
+    // shingles hashed once to longs: jaccard over hashed sets equals
+    // jaccard over string sets up to xxhash64 collisions (negligible at
+    // dozens of grams per doc)
+    val grams = docs.select(col(idCol).as("id"), explode(
+      transform(shingles(col(textCol)), s => xxhash64(s))).as("g"))
+
+    // global order = ASCENDING document frequency (rare-first): the whole
+    // point of prefix filtering — a doc's prefix holds its RAREST shingles,
+    // so candidate buckets stay small; hash order would put boilerplate in
+    // every prefix
+    val dfc = grams.groupBy($"g").agg(count(lit(1)).as("df"))
+    val perDoc = grams.join(dfc, Seq("g"))
+      .groupBy($"id")
+      .agg(sort_array(collect_list(struct($"df", $"g"))).as("ordered"))
+      .withColumn("sh", transform($"ordered", o => o("g")))
+      .withColumn("sz", size($"sh"))
+      .withColumn("prefix", transform(
+        slice($"ordered", lit(1), (floor($"sz" * (1 - threshold)) + 1).cast("int")),
+        o => o("g")))
+      .select($"id", $"sh", $"sz", $"prefix")
+
+    val inverted = perDoc.select($"id", $"sz", explode($"prefix").as("g"))
+
+    // size filter at the join: J >= t implies t <= |a|/|b| <= 1/t
+    val pairs = inverted.as("a").join(inverted.as("b"),
+        $"a.g" === $"b.g" && $"a.id" < $"b.id" &&
+          $"b.sz" >= $"a.sz" * threshold && $"a.sz" >= $"b.sz" * threshold)
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    pairs
+      .join(perDoc.select($"id".as("id_a"), $"sh".as("sh_a")), Seq("id_a"))
+      .join(perDoc.select($"id".as("id_b"), $"sh".as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")))
+      .withColumn("jaccard",
+        $"inter" / (size($"sh_a") + size($"sh_b") - $"inter"))
       .filter($"jaccard" >= threshold)
       .select($"id_a", $"id_b", $"jaccard")
   }
