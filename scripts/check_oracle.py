@@ -21,6 +21,9 @@ def canon(df):
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df.astype(str)
 
+def dtypes_of(df):
+    return {c: str(t) for c, t in df.dtypes.items()}
+
 fails = 0
 for name in sorted(os.listdir(out_dir)):
     p = os.path.join(out_dir, name)
@@ -35,6 +38,12 @@ for name in sorted(os.listdir(out_dir)):
         duck_df = con.execute(oracle[name]).df()
     except Exception as e:
         print(f"{name:28s} ORACLE SQL ERROR: {e}")
+        fails += 1
+        continue
+    da, db = dtypes_of(spark_df), dtypes_of(duck_df)
+    if da != db and set(da) == set(db):
+        diffs = {c: (da[c], db[c]) for c in da if da[c] != db[c]}
+        print(f"{name:28s} DTYPE MISMATCH {diffs}")
         fails += 1
         continue
     a, b = canon(spark_df), canon(duck_df)

@@ -157,7 +157,7 @@ object SparkEntry {
       import s.implicits._
       val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
       t(s, d, "orders")
-        .withColumn("rank", row_number().over(w))
+        .withColumn("rank", row_number().over(w).cast("long")) // DuckDB row_number is BIGINT
         .filter($"rank" <= 3)
         .select($"o_custkey", $"o_orderkey", $"rank")
         .orderBy($"o_custkey", $"rank")
@@ -250,7 +250,7 @@ object SparkEntry {
       import s.implicits._
       val docs = t(s, d, "documents")
       docs.select($"doc_id",
-        TextAnalysis.tokenCount($"text").as("n_tokens"),
+        TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"),
         TextAnalysis.subwordCount($"text").cast("long").as("n_subwords"))
         .orderBy($"doc_id")
     }),
@@ -327,6 +327,15 @@ object SparkEntry {
         .join(broadcast(t(s, d, "region")), $"n_regionkey" === $"r_regionkey")
         .select(concat($"r_name", lit("/"), $"n_name").as("path"))
         .orderBy($"path")
+    }),
+
+    // ---- multimodal: media table schema + payload metadata ----------------
+    "media_features" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Multimodal.mediaTable(t(s, d, "documents"))
+        .select($"doc_id", $"media_type", length($"payload").cast("long").as("n_bytes"),
+          $"width", $"height", $"sample_rate")
+        .orderBy($"doc_id")
     }),
 
     // ---- KG pipeline over the synthesized doc table (rows-only) -----------
@@ -504,6 +513,15 @@ object SparkEntry {
       """SELECT r_name || '/' || n_name AS path
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |ORDER BY path""".stripMargin,
+
+    "media_features" ->
+      """SELECT doc_id,
+        |  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  CAST(doc_id % 16 AS INT) * 64 + 256 AS width,
+        |  CAST(doc_id % 9 AS INT) * 64 + 256 AS height,
+        |  CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS sample_rate
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_lang_id" ->
       """WITH sc AS (
