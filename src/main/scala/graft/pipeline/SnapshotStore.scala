@@ -104,8 +104,10 @@ final class SnapshotStore(spark: SparkSession, workDir: String) {
             metrics: DataFrame => Map[String, Long] = _ => Map.empty)
            (compute: => DataFrame): DataFrame = {
     if (!exists(name)) {
+      val t0 = System.nanoTime()
       val df = compute
       write(name, df, partitionCols, metrics(df))
+      println(f"[stage-time] $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     read(name)
   }

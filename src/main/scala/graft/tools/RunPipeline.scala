@@ -12,6 +12,7 @@ object RunPipeline {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val workDir = if (args.length > 1) args(1) else "/tmp/graft_pipeline"
+    val replicate = if (args.length > 2) args(2).toInt else 1
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
       .appName("graft-pipeline")
@@ -21,7 +22,7 @@ object RunPipeline {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val docs = SynthDocs.fromDocuments(spark, sfDir)
+    val docs = SynthDocs.fromDocuments(spark, sfDir, replicate)
     val t0 = System.nanoTime()
     val out = Pipeline.run(spark, docs, workDir)
     val n = out.count()
