@@ -9,50 +9,15 @@ import graft.model.{NS, RdfTriple, ValidationError}
 /** Doc table → RDF triples + error side channel.
   *
   * The whole of the reference's `process_rows`/`map_row_to_rdf` pass
-  * (reference: src/csv_to_rdf.py:165-296,352-374) as ONE Catalyst plan:
-  *
-  * {{{
-  * docs → original_name (row-local array ops, no join)
-  *      → explode(spans) → SpanProcessor UDF (the only black box)
-  *      → explode(triples) → union(type triples) → dropDuplicates → out
-  * }}}
-  *
-  * No driver loop, no collect. The only shuffles are the `distinct` for the
-  * per-doc `rdf:type` gate and the global set-dedup (rdflib Graph is a set;
-  * SURVEY.md §2.8 U1) — both keyed so AQE can coalesce. Everything up to
-  * them is narrow and pipelined.
+  * (reference: src/csv_to_rdf.py:165-296,352-374) as ONE narrow Catalyst
+  * plan: `scan → typed flatMap(doc → triples) → out`. No driver loop, no
+  * collect, NO SHUFFLE — per-doc in-closure set-dedup realizes rdflib's
+  * set semantics (SURVEY.md §2.8 U1) because every extraction triple is
+  * doc-scoped.
   */
 object Extraction {
 
   import FieldSpecs.NameKind
-
-  private val processUdf = udf {
-    (docLocal: String, kind: String, text: String, offset: Int, originalName: String) =>
-      if (kind == NameKind) SpanProcessor.processName(docLocal, text)
-      else FieldSpecs.byKind.get(kind) match {
-        case Some(spec) => SpanProcessor.process(spec, docLocal, text, offset, originalName)
-        case None       => SpanResult(Nil, Nil)
-      }
-  }
-
-  private val fullnameUdf = udf { (originalName: String) =>
-    if (originalName == null || originalName.isEmpty) ""
-    else Converters.convertPersonName(originalName).full
-  }
-
-  /** Spans with processing results attached — shared lineage for triples
-    * and errors. */
-  private def processed(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs
-      .withColumn("original_name",
-        coalesce(
-          element_at(filter($"spans", s => s("kind") === lit(NameKind)), 1)("text"),
-          lit("")))
-      .select($"doc_id", $"original_name", explode($"spans").as("s"))
-      .withColumn("r", processUdf($"doc_id", $"s.kind", $"s.text", $"s.offset", $"original_name"))
-  }
 
   /** Doc-level typed path: one closure call per DOCUMENT (not per span),
     * emitting flat [[RdfTriple]] rows directly — no nested-struct encoder,
@@ -98,24 +63,37 @@ object Extraction {
     * the set-dedup is the only shuffle either way. */
   def triples(docs: DataFrame): Dataset[RdfTriple] = triplesTyped(docs)
 
-  /** Validation errors incl. the no-data rows (csv_to_rdf.py:286-288). */
+  /** Validation errors incl. the no-data rows (csv_to_rdf.py:286-288) —
+    * same doc-level typed pass as [[triplesTyped]]: per doc, either its
+    * span errors (with the converted fullname, like the reference's error
+    * rows) or the single no-data row when nothing was emitted. */
   def errors(docs: DataFrame): Dataset[ValidationError] = {
     val spark = docs.sparkSession
     import spark.implicits._
-
-    val p = processed(docs)
-    val spanErrors = p
-      .select($"doc_id", fullnameUdf($"original_name").as("name"),
-        $"s.kind".as("column"), $"s.text".as("value"), explode($"r.errors").as("error"))
-      .select($"doc_id".as("docId"), $"name", $"column", $"error", $"value")
-
-    val emitting = p.filter(size($"r.triples") > 0).select($"doc_id").distinct()
-    val noData = docs.select($"doc_id").distinct()
-      .join(emitting, Seq("doc_id"), "left_anti")
-      .select($"doc_id".as("docId"), lit("").as("name"), lit("").as("column"),
-        lit("Ei tietoa henkilöstä").as("error"), lit("").as("value"))
-
-    spanErrors.unionByName(noData).as[ValidationError]
+    import graft.model.{Doc, Span}
+    docs.as[Doc].flatMap { doc =>
+      val originalName = doc.spans.collectFirst {
+        case Span(NameKind, text, _, _) => text
+      }.getOrElse("")
+      val fullname =
+        if (originalName.isEmpty) ""
+        else Converters.convertPersonName(originalName).full
+      var emitted = false
+      val errs = doc.spans.flatMap { s =>
+        val res =
+          if (s.kind == NameKind) SpanProcessor.processName(doc.doc_id, s.text)
+          else FieldSpecs.byKind.get(s.kind) match {
+            case Some(spec) =>
+              SpanProcessor.process(spec, doc.doc_id, s.text, s.offset, originalName)
+            case None => SpanResult(Nil, Nil)
+          }
+        if (res.triples.nonEmpty) emitted = true
+        res.errors.map(e => ValidationError(doc.doc_id, fullname, s.kind, e, s.text))
+      }
+      if (!emitted)
+        errs :+ ValidationError(doc.doc_id, fullname, "", "Ei tietoa henkilöstä", "")
+      else errs
+    }
   }
 
   /** Schema graph derived from the FieldSpec table
