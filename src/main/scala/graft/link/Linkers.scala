@@ -17,8 +17,10 @@ object Normalize {
   private val slugifyUdf = udf(Converters.slugify _)
   def slugifyCol(c: Column): Column = slugifyUdf(c)
 
-  private val jaroWinklerUdf = udf(Converters.jaroWinkler _)
-  def jaroWinkler(a: Column, b: Column): Column = jaroWinklerUdf(a, b)
+  /** Native codegen expression (graft.functions.JaroWinklerExpression) —
+    * stays inside whole-stage codegen instead of a ScalaUDF boundary. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    graft.functions.JaroWinklerExpression.jaroWinkler(a, b)
 }
 
 /** Entity-linking operators (SURVEY.md §2.4 J1-J13), all re-expressed as
