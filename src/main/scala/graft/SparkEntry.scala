@@ -301,6 +301,43 @@ object SparkEntry {
         .orderBy($"query_id", $"rank")
     }),
 
+    // ---- J9: 13-field record-linkage comparators over deterministic pairs -
+    // (the production Comparators expressions — set intersection, DateTime,
+    // rank-level Price, activity, missing-field renormalization — scored
+    // hash-exact against DuckDB on a derived pair table; the JW name fields
+    // are covered separately by JaroWinklerExprSpec goldens)
+    "j9_pair_score" -> ((s, d) => {
+      import s.implicits._
+      import graft.erlink.Comparators
+      def feats(df: DataFrame, key: Column, id: String): DataFrame = df.select(
+        key.as(id),
+        col(df.columns.find(_.endsWith("nationkey")).get).as(s"nat_$id"),
+        when(pmod(key, lit(5)) === 0, lit(null)).otherwise(
+          array(pmod(key, lit(7)).cast("string"), pmod(key, lit(11)).cast("string")))
+          .as(s"bp_$id"),
+        date_format(date_add(to_date(lit("1900-01-01")),
+          pmod(key * 37, lit(9000)).cast("int")), "yyyy-MM-dd").as(s"bb_$id"),
+        when(pmod(key, lit(4)) === 0, lit(null)).otherwise(
+          date_format(date_add(to_date(lit("1940-01-01")),
+            pmod(key * 13, lit(2000)).cast("int")), "yyyy-MM-dd")).as(s"db_$id"),
+        when(pmod(key, lit(7)) === 0, lit(null)).otherwise(pmod(key, lit(13)).cast("int"))
+          .as(s"rl_$id"),
+        date_format(date_add(to_date(lit("1945-01-01")),
+          pmod(key, lit(700)).cast("int")), "yyyy-MM-dd").as(s"ae_$id"))
+      val a = feats(t(s, d, "customer"), $"c_custkey", "id_a")
+      val b = feats(t(s, d, "supplier"), $"s_suppkey", "id_b")
+      val score = Comparators.score(Seq(
+        Comparators.setField(0.30, $"bp_id_a", $"bp_id_b"),
+        Comparators.dateField(0.20, $"bb_id_a", $"bb_id_b"),
+        Comparators.dateField(0.15, $"db_id_a", $"db_id_b"),
+        Comparators.levelField(0.15, $"rl_id_a", $"rl_id_b"),
+        Comparators.activityField(0.20, $"ae_id_a", $"ae_id_b")))
+      a.join(b, $"nat_id_a" === $"nat_id_b")
+        .select($"id_a", $"id_b",
+          round(score * 1000000).cast("long").as("score_micros"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // ---- U2: set subtraction (EXCEPT) --------------------------------------
     "u2_except" -> ((s, d) => {
       import s.implicits._
@@ -504,6 +541,65 @@ object SparkEntry {
         |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
         |  length(text) - length(regexp_replace(text, '[A-ZÅÄÖ]', '', 'g')) AS n_upper
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "j9_pair_score" ->
+      """WITH a AS (
+        |  SELECT c_custkey AS id_a, c_nationkey AS nat,
+        |    CASE WHEN c_custkey % 5 = 0 THEN NULL
+        |         ELSE [CAST(c_custkey % 7 AS VARCHAR), CAST(c_custkey % 11 AS VARCHAR)]
+        |    END AS bp,
+        |    strftime(DATE '1900-01-01' + INTERVAL ((c_custkey * 37) % 9000) DAY, '%Y-%m-%d') AS bb,
+        |    CASE WHEN c_custkey % 4 = 0 THEN NULL
+        |         ELSE strftime(DATE '1940-01-01' + INTERVAL ((c_custkey * 13) % 2000) DAY, '%Y-%m-%d')
+        |    END AS db,
+        |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE CAST(c_custkey % 13 AS INT) END AS rl,
+        |    strftime(DATE '1945-01-01' + INTERVAL (c_custkey % 700) DAY, '%Y-%m-%d') AS ae
+        |  FROM customer),
+        |b AS (
+        |  SELECT s_suppkey AS id_b, s_nationkey AS nat,
+        |    CASE WHEN s_suppkey % 5 = 0 THEN NULL
+        |         ELSE [CAST(s_suppkey % 7 AS VARCHAR), CAST(s_suppkey % 11 AS VARCHAR)]
+        |    END AS bp,
+        |    strftime(DATE '1900-01-01' + INTERVAL ((s_suppkey * 37) % 9000) DAY, '%Y-%m-%d') AS bb,
+        |    CASE WHEN s_suppkey % 4 = 0 THEN NULL
+        |         ELSE strftime(DATE '1940-01-01' + INTERVAL ((s_suppkey * 13) % 2000) DAY, '%Y-%m-%d')
+        |    END AS db,
+        |    CASE WHEN s_suppkey % 7 = 0 THEN NULL ELSE CAST(s_suppkey % 13 AS INT) END AS rl,
+        |    strftime(DATE '1945-01-01' + INTERVAL (s_suppkey % 700) DAY, '%Y-%m-%d') AS ae
+        |  FROM supplier),
+        |scored AS (
+        |  SELECT id_a, id_b,
+        |    (CASE WHEN a.bp IS NOT NULL AND b.bp IS NOT NULL
+        |          THEN (CASE WHEN len(list_intersect(a.bp, b.bp)) > 0 THEN 1.0 ELSE 0.0 END) * 0.30
+        |          ELSE 0.0 END)
+        |    + (CASE WHEN a.bb IS NOT NULL AND b.bb IS NOT NULL
+        |            THEN (CASE WHEN a.bb = b.bb THEN 1.0
+        |                       WHEN substr(a.bb, 1, 4) = substr(b.bb, 1, 4) THEN 0.5
+        |                       ELSE 0.0 END) * 0.20
+        |            ELSE 0.0 END)
+        |    + (CASE WHEN a.db IS NOT NULL AND b.db IS NOT NULL
+        |            THEN (CASE WHEN a.db = b.db THEN 1.0
+        |                       WHEN substr(a.db, 1, 4) = substr(b.db, 1, 4) THEN 0.5
+        |                       ELSE 0.0 END) * 0.15
+        |            ELSE 0.0 END)
+        |    + (CASE WHEN a.rl IS NOT NULL AND b.rl IS NOT NULL
+        |            THEN greatest(0.0, 1.0 - abs(CAST(a.rl AS DOUBLE) - CAST(b.rl AS DOUBLE)) / 12.0) * 0.15
+        |            ELSE 0.0 END)
+        |    + (CASE WHEN a.ae IS NOT NULL AND b.ae IS NOT NULL
+        |            THEN (CASE WHEN a.ae = b.ae THEN 1.0
+        |                       WHEN a.ae <= b.ae THEN 0.5
+        |                       ELSE 0.0 END) * 0.20
+        |            ELSE 0.0 END) AS num,
+        |    (CASE WHEN a.bp IS NOT NULL AND b.bp IS NOT NULL THEN 0.30 ELSE 0.0 END)
+        |    + (CASE WHEN a.bb IS NOT NULL AND b.bb IS NOT NULL THEN 0.20 ELSE 0.0 END)
+        |    + (CASE WHEN a.db IS NOT NULL AND b.db IS NOT NULL THEN 0.15 ELSE 0.0 END)
+        |    + (CASE WHEN a.rl IS NOT NULL AND b.rl IS NOT NULL THEN 0.15 ELSE 0.0 END)
+        |    + (CASE WHEN a.ae IS NOT NULL AND b.ae IS NOT NULL THEN 0.20 ELSE 0.0 END) AS den
+        |  FROM a JOIN b ON a.nat = b.nat)
+        |SELECT id_a, id_b,
+        |  CAST(round((CASE WHEN den > 0.0 THEN num / den ELSE 0.0 END) * 1000000) AS BIGINT)
+        |    AS score_micros
+        |FROM scored ORDER BY id_a, id_b""".stripMargin,
 
     "u2_except" ->
       """SELECT x FROM (

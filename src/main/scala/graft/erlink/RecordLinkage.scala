@@ -129,41 +129,59 @@ object RecordLinkage {
       .select($"prisoner", $"person").distinct()
   }
 
-  /** Deterministic pair scorer over the 13-field space: Jaro-Winkler on
-    * names, window containment on date ranges, set intersection on
-    * place/rank/unit/occupation arrays (the reference's intersection
-    * comparators, linker.py:178-188), rank-level closeness. Returns links
-    * at `threshold` (the reference accepts at threshold_ratio 0.8,
+  /** Optional columns a sparse gazetteer may omit — filled with typed
+    * nulls so the scorer's renormalization drops them uniformly. */
+  private def withOptionalFields(df: DataFrame): DataFrame = {
+    val arrayCols = Seq("birth_place", "death_place", "rank", "unit", "occupation")
+    val dateCols = Seq("birth_begin", "birth_end", "death_begin", "death_end", "activity_end")
+    val have = df.columns.toSet
+    val withArrays = arrayCols.foldLeft(df)((d, c) =>
+      if (have(c)) d else d.withColumn(c, lit(null).cast("array<string>")))
+    val withDates = dateCols.foldLeft(withArrays)((d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast("string")))
+    if (withDates.columns.contains("rank_level")) withDates
+    else withDates.withColumn("rank_level", lit(null).cast("int"))
+  }
+
+  /** Deterministic pair scorer over the FULL 13-field space of
+    * linker.py:175-189: Jaro-Winkler on names, the DateTime comparator on
+    * the four date-window bounds, set intersection on birth/death place,
+    * rank, unit and occupation arrays (the reference's custom
+    * intersection_comparator fields), the Price comparator on rank_level
+    * and the activity comparator on activity_end — see
+    * [[Comparators.prisonerScore]]. Fields missing on either side drop out
+    * by renormalization, so sparse gazetteers still link on what they
+    * have, while a present-but-disagreeing field (same name, different
+    * rank/unit/cohort) actively pushes the pair below threshold — the
+    * precision case the reference's 13-field model exists for. Returns
+    * links at `threshold` (the reference accepts at threshold_ratio 0.8,
     * linker.py:209). */
   def scorePairs(pairs: DataFrame, prisoners: DataFrame, personsGaz: DataFrame,
                  threshold: Double = 0.8): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
 
-    val p = prisoners.select($"person_uri".as("prisoner"), $"given".as("p_given"),
-      $"family".as("p_family"), $"birth_begin".as("p_bb"), $"birth_end".as("p_be"),
-      $"death_begin".as("p_db"), $"death_end".as("p_de"),
-      $"birth_place".as("p_bp"), $"rank".as("p_rank"), $"rank_level".as("p_rl"),
-      $"unit".as("p_unit"), $"occupation".as("p_occ"))
-    val g = personsGaz.select($"person", $"given".as("g_given"),
-      $"family".as("g_family"), $"birth_begin".as("g_bb"), $"birth_end".as("g_be"))
+    def side(df: DataFrame, idIn: String, idOut: String, pre: String): DataFrame = {
+      val f = withOptionalFields(df)
+      f.select(col(idIn).as(idOut) +: Seq("given", "family", "birth_place",
+        "birth_begin", "birth_end", "death_begin", "death_end", "death_place",
+        "activity_end", "rank", "rank_level", "unit", "occupation")
+        .map(c => col(c).as(pre + c)): _*)
+    }
+    def cols(pre: String): Comparators.PrisonerCols = Comparators.PrisonerCols(
+      given = col(pre + "given"), family = col(pre + "family"),
+      birthPlace = col(pre + "birth_place"), birthBegin = col(pre + "birth_begin"),
+      birthEnd = col(pre + "birth_end"), deathBegin = col(pre + "death_begin"),
+      deathEnd = col(pre + "death_end"), deathPlace = col(pre + "death_place"),
+      activityEnd = col(pre + "activity_end"), rank = col(pre + "rank"),
+      rankLevel = col(pre + "rank_level"), unit = col(pre + "unit"),
+      occupation = col(pre + "occupation"))
 
-    def jw(a: Column, b: Column): Column =
-      when(a.isNull || b.isNull, 0.5)
-        .otherwise(Normalize.jaroWinkler(Normalize.fold(a), Normalize.fold(b)))
-
-    // date agreement: overlap of [bb,be] windows; missing -> neutral 0.5
-    def dateScore(ab: Column, ae: Column, bb: Column, be: Column): Column =
-      when(ab.isNull || bb.isNull, 0.5)
-        .when(ab <= be && bb <= ae, 1.0)
-        .otherwise(0.0)
+    val p = side(prisoners, "person_uri", "prisoner", "p_")
+    val g = side(personsGaz, "person", "person", "g_")
 
     val scored = pairs.join(p, Seq("prisoner")).join(g, Seq("person"))
-      .withColumn("s_given", jw($"p_given", $"g_given"))
-      .withColumn("s_family", jw($"p_family", $"g_family"))
-      .withColumn("s_birth", dateScore($"p_bb", $"p_be", $"g_bb", $"g_be"))
-      .withColumn("score",
-        ($"s_given" * 0.35 + $"s_family" * 0.40 + $"s_birth" * 0.25))
+      .withColumn("score", Comparators.prisonerScore(cols("p_"), cols("g_")))
 
     // best person per prisoner, then threshold (top-1 mirrors dedupe's
     // one-to-one preference)

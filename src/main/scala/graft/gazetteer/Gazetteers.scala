@@ -121,6 +121,20 @@ object Gazetteers {
     * genuinely matches. */
   def persons(spark: SparkSession, n: Int = 2000): DataFrame = {
     import spark.implicits._
+    // same pick/skew formulas as SynthDocs so person_i genuinely matches
+    // prisoner_i on every field — the 13-field scorer then has real signal
+    // (rank/occupation/birth_place present on BOTH sides), and a prisoner
+    // blocking-matched to the WRONG person disagrees on them.
+    def pick(values: Seq[String], idx: org.apache.spark.sql.Column) =
+      element_at(typedlit(values), pmod(idx, lit(values.size)).cast("int") + 1)
+    def skewed(m: Int) = pmod(pmod($"id", lit(m)) * pmod($"id", lit(m)), lit(m))
+    val ranks8 = Seq("sotamies", "korpraali", "alikersantti", "kersantti",
+      "vänrikki", "luutnantti", "kapteeni", "majuri")
+    val occupations8 = Seq("maanviljelijä", "sekatyömies", "kirvesmies",
+      "posteljooni", "kaavaaja", "opettaja", "suutari", "räätäli")
+    val municipalities12 = Seq("Helsinki", "Viipuri", "Tampere", "Karkkila",
+      "Juuka", "Kiihtelysvaara", "Lavia", "Hämeenlinna", "Ylämaa", "Sortavala",
+      "Käkisalmi", "Kuopio")
     spark.range(n.toLong).select(
       concat(lit(NS.ACTORS), lit("person_"), $"id").as("person"),
       element_at(typedlit(Seq("Matti", "Juho", "Olavi", "Antti", "Eino", "Veikko",
@@ -134,7 +148,13 @@ object Gazetteers {
       date_format(
         make_date(lit(1900) + pmod($"id", lit(25)),
           pmod($"id" / 31, lit(12)) + 1, pmod($"id", lit(28)) + 1), "yyyy-MM-dd")
-        .as("birth_begin"))
+        .as("birth_begin"),
+      array(pick(ranks8, skewed(8))).as("rank"),
+      // levels of ranks8 in the ranks() gazetteer above
+      element_at(typedlit(Seq(1, 3, 4, 5, 8, 9, 11, 12)),
+        skewed(8).cast("int") + 1).as("rank_level"),
+      array(pick(occupations8, skewed(8))).as("occupation"),
+      array(pick(municipalities12, $"id" / 13)).as("birth_place"))
       .withColumn("birth_end", $"birth_begin")
   }
 

@@ -149,6 +149,52 @@ class LinkersSpec extends AnyFunSuite {
       s"only $exact/${joined.length} links agree on given+birth")
   }
 
+  test("record linkage precision: 13-field scorer rejects same-name/different-cohort (J9)") {
+    // Two gazetteer candidates share the prisoner's exact name and birth
+    // window (a same-name cohort, the case the reference's 13-field dedupe
+    // model exists for, linker.py:175-189). Candidate A agrees on rank,
+    // unit, occupation and birth place; candidate B — the impostor — is
+    // present-but-disjoint on all four. A name+birth-only scorer cannot
+    // tell them apart (both would clear any threshold); the full scorer
+    // must link A and push B below 0.8.
+    val feats = Seq(
+      (NS.DATA + "prisoner_x", "Matti", "Virtanen", "1918-03-07", "1918-03-07",
+        Seq("Juuka"), Seq("sotamies"), Seq("JR 8"), Seq("maanviljelijä")),
+    ).toDF("person_uri", "given", "family", "birth_begin", "birth_end",
+      "birth_place", "rank", "unit", "occupation")
+    val gaz = Seq(
+      (NS.ACTORS + "person_match", "Matti", "Virtanen", "1918-03-07", "1918-03-07",
+        Seq("Juuka"), Seq("sotamies"), Seq("JR 8"), Seq("maanviljelijä")),
+      (NS.ACTORS + "person_impostor", "Matti", "Virtanen", "1918-03-07", "1918-03-07",
+        Seq("Viipuri"), Seq("kapteeni"), Seq("KTR 15"), Seq("opettaja")),
+    ).toDF("person", "given", "family", "birth_begin", "birth_end",
+      "birth_place", "rank", "unit", "occupation")
+
+    val pairs = Seq(
+      (NS.DATA + "prisoner_x", NS.ACTORS + "person_match"),
+      (NS.DATA + "prisoner_x", NS.ACTORS + "person_impostor"),
+    ).toDF("prisoner", "person")
+
+    // threshold 0 -> observe raw top-1 pick and both scores
+    val all = RecordLinkage.scorePairs(pairs, feats, gaz, threshold = 0.0)
+      .select("person", "score").as[(String, Double)].collect().toMap
+    // top-1 keeps only the best candidate; rerun pairwise for the impostor
+    val impostorOnly = RecordLinkage.scorePairs(
+      pairs.filter($"person".contains("impostor")), feats, gaz, threshold = 0.0)
+      .select("person", "score").as[(String, Double)].collect().toMap
+
+    assert(all(NS.ACTORS + "person_match") == 1.0,
+      s"full-agreement pair must score 1.0, got $all")
+    val impostorScore = impostorOnly(NS.ACTORS + "person_impostor")
+    assert(impostorScore < 0.8,
+      s"impostor (name+birth only, 4 disjoint context fields) must fall below " +
+        s"threshold, got $impostorScore")
+    // and the accepted link set at the default threshold contains only A
+    val accepted = RecordLinkage.scorePairs(pairs, feats, gaz)
+      .select("person").as[String].collect().toSet
+    assert(accepted == Set(NS.ACTORS + "person_match"))
+  }
+
   test("events: anti-join guard suppresses already-evented persons (J15)") {
     val ranksGaz = Gazetteers.ranks(spark)
     val linked = triples.unionByName(
