@@ -104,9 +104,17 @@ object Dedup {
 
   /** SimHash near-duplicates: 64-bit simhash, candidates = equal 16-bit
     * band (pigeonhole guarantees recall for Hamming distance <= 3),
-    * verified with bit_count(xor) <= maxHamming. */
+    * verified with bit_count(xor) <= maxHamming.
+    *
+    * `maxBucket` bounds hot buckets the same way the MinHash path does —
+    * a boilerplate-heavy corpus (identical headers/footers, the exact case
+    * simhash exists for) collapses whole partitions into 4 buckets, and an
+    * uncapped self-join there is quadratic in corpus size. Docs within a
+    * bucket are ranked and only pairs within `maxBucket` ranks join, so a
+    * bucket of n docs yields O(n·maxBucket) pairs instead of O(n²) while
+    * rank-adjacency chains still connect every duplicate to its group. */
   def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-                            maxHamming: Int = 3): DataFrame = {
+                            maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val sigs = docs.select(col(idCol).as("id"),
@@ -116,9 +124,12 @@ object Dedup {
       concat(lit(b), lit(":"), shiftright($"sig", b * 16).bitwiseAND(lit(0xFFFFL)))): _*)
     val banded = sigs.select($"id", $"sig", explode(bandCols).as("bucket"))
 
-    val l = banded.select($"bucket", $"id".as("id_a"), $"sig".as("sig_a"))
-    val r = banded.select($"bucket", $"id".as("id_b"), $"sig".as("sig_b"))
-    l.join(r, Seq("bucket")).filter($"id_b" > $"id_a")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"bucket").orderBy($"id")
+    val ranked = banded.withColumn("rk", row_number().over(w))
+    val l = ranked.select($"bucket", $"id".as("id_a"), $"sig".as("sig_a"), $"rk".as("rk_a"))
+    val r = ranked.select($"bucket".as("bucket_b"), $"id".as("id_b"),
+      $"sig".as("sig_b"), $"rk".as("rk_b"))
+    l.join(r, $"bucket" === $"bucket_b" && $"rk_b" > $"rk_a" && $"rk_b" <= $"rk_a" + maxBucket)
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count($"sig_a".bitwiseXOR($"sig_b")))
       .filter($"hamming" <= maxHamming)

@@ -53,6 +53,25 @@ class OpsSpec extends AnyFunSuite {
     assert(exact.isDefined && exact.get._3 == 0)
   }
 
+  test("simhash: adversarial boilerplate corpus stays bounded by the bucket cap") {
+    // 10k identical docs -> ONE simhash value -> 4 hot buckets. Uncapped,
+    // that is ~2·10^8 candidate pairs; the rank-window cap bounds it at
+    // n·maxBucket while rank adjacency still chains the whole dup group.
+    val n = 10000
+    val boiler = spark.range(n.toLong)
+      .select($"id".as("doc_id"),
+        lit("copyright footer navigation subscribe newsletter terms privacy").as("text"))
+    val cap = 8
+    val pairs = Dedup.simhashNearDuplicates(boiler, "doc_id", "text",
+      maxHamming = 3, maxBucket = cap)
+    val cnt = pairs.count()
+    assert(cnt <= n.toLong * cap, s"pair count $cnt exceeds n*maxBucket bound")
+    assert(cnt >= n - 1, s"cap must keep adjacency chains: got $cnt pairs")
+    // chain connectivity: every doc except the last rank appears as id_a
+    val asA = pairs.select("id_a").distinct().count()
+    assert(asA == n - 1, s"expected ${n - 1} chain sources, got $asA")
+  }
+
   test("language id: stopword heuristic") {
     val got = docs.select($"doc_id", TextAnalysis.langId($"text").as("l"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
