@@ -43,23 +43,54 @@ object Gazetteers {
     "maj" -> "majuri", "siv" -> "siviili",
   )
 
-  /** Military units: (uri, labels[], covernumber, conflict) — match fields
-    * from sparql/units.sparql:27-30 + the covernumber exact branch of
-    * arpa_services/warsa_actor_units. */
+  /** Military units: (uri, labels[], covernumber, conflict, clazz, formed)
+    * — match fields from sparql/units.sparql:27-30 + the covernumber exact
+    * branch of arpa_services/warsa_actor_units. `clazz` feeds the
+    * `a/rdfs:subClassOf* wsc:Group` candidate restriction
+    * (units.sparql:20-22) via [[unitClasses]]; `formed` is the
+    * `crm:P95_has_formed` edge (units.sparql:24-26): a match on this
+    * actor's labels resolves to the unit it FORMED, not to itself. */
   def units(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val rows = (1 to 60).map { i =>
       val name = s"JR $i"
       val alt = s"Jalkaväkirykmentti $i"
       val conflict = if (i % 3 == 0) "WinterWar" else "ContinuationWar"
-      (s"actor_$i", Seq(name, alt, name.toLowerCase), s"${1000 + i}", conflict)
+      (s"actor_$i", Seq(name, alt, name.toLowerCase), s"${1000 + i}", conflict,
+        "Regiment", null: String)
     } ++ Seq(
-      ("actor_erp25", Seq("Er.P 25", "Erillinen Pataljoona 25", "er.p 25"), "2025", "ContinuationWar"),
-      ("actor_ktr15", Seq("KTR 15", "Kenttätykistörykmentti 15", "ktr15", "ktr 15"), "2115", "ContinuationWar"),
+      ("actor_erp25", Seq("Er.P 25", "Erillinen Pataljoona 25", "er.p 25"), "2025",
+        "ContinuationWar", "Battalion", null: String),
+      ("actor_ktr15", Seq("KTR 15", "Kenttätykistörykmentti 15", "ktr15", "ktr 15"), "2115",
+        "ContinuationWar", "Regiment", null: String),
+      // pre-war regiment whose formation became KTR 15: matching "TR 2"
+      // must resolve to actor_ktr15 (P95_has_formed traversal)
+      ("actor_tr2", Seq("TR 2", "Tykistörykmentti 2", "tr 2"), "2302",
+        "WinterWar", "Regiment", NS.ACTORS + "actor_ktr15"),
+      // homonym trap OUTSIDE the Group hierarchy: a veterans' club whose
+      // label collides with unit mentions must never be a candidate
+      ("actor_club9", Seq("Sotilaskoti 9", "sotilaskoti 9"), "9099",
+        "ContinuationWar", "WelfareOrganization", null: String),
     )
-    rows.toDF("local", "labels", "covernumber", "conflict")
+    rows.toDF("local", "labels", "covernumber", "conflict", "clazz", "formed")
       .select(concat(lit(NS.ACTORS), $"local").as("uri"), $"labels", $"covernumber",
-        concat(lit(NS.EVENTS), $"conflict").as("conflict"))
+        concat(lit(NS.EVENTS), $"conflict").as("conflict"),
+        concat(lit(NS.SCHEMA_ACTORS), $"clazz").as("clazz"), $"formed")
+  }
+
+  /** Unit class ladder `(clazz, parent)` — the rdfs:subClassOf edges the
+    * reference's `a/rdfs:subClassOf* wsc:Group` path walks
+    * (units.sparql:20-22). WelfareOrganization descends from Agent, NOT
+    * Group, so its instances are excluded from unit candidates. */
+  def unitClasses(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("Company", "Unit"), ("Battalion", "Unit"), ("Regiment", "Unit"),
+      ("Unit", "Group"), ("Division", "Group"), ("Group", "Agent"),
+      ("WelfareOrganization", "Organization"), ("Organization", "Agent"),
+    ).toDF("c", "p")
+      .select(concat(lit(NS.SCHEMA_ACTORS), $"c").as("clazz"),
+        concat(lit(NS.SCHEMA_ACTORS), $"p").as("parent"))
   }
 
   /** Municipalities, warsa registry: (uri, label). */

@@ -157,11 +157,18 @@ object Linkers {
 
   /** J7+J8: units — candidate generation by ≤5-gram windows over the
     * mention (arpa_services/warsa_actor_units: maxNGrams 5) plus exact
-    * covernumber match, then disambiguation preferring the candidate whose
-    * conflict matches the doc's war period (sparql/units.sparql:8-31),
-    * ties broken by longest matched n-gram then uri. */
+    * covernumber match, restricted to actors whose class is transitively
+    * under Group (`a/rdfs:subClassOf* wsc:Group`, units.sparql:20-22) or
+    * that FORMED a unit (`crm:P95_has_formed`, units.sparql:24-26 — the
+    * match then resolves to the formed unit, with the formed unit's
+    * conflict). Disambiguation prefers the candidate whose conflict
+    * matches the doc's war period, ties broken by longest matched n-gram
+    * then uri. `classesGaz` is the rdfs:subClassOf edge table; its
+    * reflexive-transitive closure is precomputed once (tiny dim) and
+    * broadcast — Spark's replacement for the SPARQL property path. */
   def linkUnits(triples: DataFrame, unitsGaz: DataFrame,
-                docPeriods: DataFrame /* (docId, period_uri) */): DataFrame = {
+                docPeriods: DataFrame /* (docId, period_uri) */,
+                classesGaz: DataFrame /* (clazz, parent) */): DataFrame = {
     val spark = triples.sparkSession
     import spark.implicits._
 
@@ -178,10 +185,26 @@ object Linkers {
       .filter(length($"gram") > 2 ||
         (length($"gram") > 1 && upper($"literal") === $"literal"))
 
+    // class restriction: actors whose clazz reaches Group via subClassOf*
+    val groupClasses = Closure.reflexiveTransitive(classesGaz)
+      .filter($"ancestor" === (NS.SCHEMA_ACTORS + "Group"))
+      .select($"clazz")
+    val directTargets = unitsGaz.join(broadcast(groupClasses), Seq("clazz"), "left_semi")
+      .select($"uri", $"labels", $"covernumber", $"conflict", $"uri".as("target"))
+    // formation traversal: a match on the forming actor's labels resolves
+    // to the FORMED unit, whose own conflict drives disambiguation
+    val formedTargets = unitsGaz.filter($"formed".isNotNull)
+      .select($"labels", $"covernumber", $"formed".as("target"))
+      .join(unitsGaz.select($"uri".as("target"), $"conflict"), Seq("target"), "left")
+      .select(col("target").as("uri"), $"labels", $"covernumber", $"conflict", $"target")
+    val candidates = directTargets.unionByName(formedTargets)
+
     val labelKeys = broadcast(
-      unitsGaz.select($"uri", $"conflict", explode($"labels").as("lbl"))
-        .select($"uri", $"conflict", fold($"lbl").as("gram"))
-        .unionByName(unitsGaz.select($"uri", $"conflict", $"covernumber".as("gram"))))
+      candidates.select($"target", $"conflict", explode($"labels").as("lbl"))
+        .select($"target".as("uri"), $"conflict", fold($"lbl").as("gram"))
+        .unionByName(candidates.select($"target".as("uri"), $"conflict",
+          $"covernumber".as("gram")))
+        .dropDuplicates("uri", "gram"))
 
     val cands = mentionGrams.join(labelKeys, "gram")
       .withColumn("gram_len", length($"gram"))

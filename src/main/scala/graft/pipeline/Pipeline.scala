@@ -70,7 +70,7 @@ object Pipeline {
           .unionByName(Linkers.linkMunicipalities(pruned, Gazetteers.municipalities(spark)))
           .unionByName(Linkers.linkPnrDeathMunicipality(pruned, Gazetteers.pnrPlaces(spark)))
           .unionByName(Linkers.linkOccupations(pruned, Gazetteers.occupations(spark)))
-          .unionByName(Linkers.linkUnits(pruned, Gazetteers.units(spark), periods))
+          .unionByName(Linkers.linkUnits(pruned, Gazetteers.units(spark), periods, Gazetteers.unitClasses(spark)))
           .unionByName(Linkers.linkMagazines(pruned, Gazetteers.magazineIndex(spark))._1)
       links
     }

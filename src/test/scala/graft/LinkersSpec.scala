@@ -60,10 +60,42 @@ class LinkersSpec extends AnyFunSuite {
     ).toDF("subj", "pred", "objValue", "objIsUri", "objLang", "objDatatype", "docId")
     val periods = Seq(("p1", "http://ldf.fi/warsa/conflicts/WinterWar"))
       .toDF("docId", "period_uri")
-    val links = Linkers.linkUnits(fixture, Gazetteers.units(spark), periods)
+    val links = Linkers.linkUnits(fixture, Gazetteers.units(spark), periods, Gazetteers.unitClasses(spark))
       .select("subj", "objValue").as[(String, String)].collect().toMap
     assert(links(NS.DATA + "p1") == NS.ACTORS + "actor_3")
     assert(links(NS.DATA + "p2") == NS.ACTORS + "actor_25")
+  }
+
+  test("unit linking: subClassOf* restriction + P95_has_formed traversal (J8)") {
+    val fixture = Seq(
+      // matches only the veterans' club label -> class outside Group -> NO link
+      (NS.DATA + "p1", NS.SCHEMA_POW + "unit_literal", "Sotilaskoti 9", false, null: String, null: String, "p1"),
+      // matches the forming regiment "TR 2" -> resolves to the FORMED unit
+      (NS.DATA + "p2", NS.SCHEMA_POW + "unit_literal", "TR 2", false, null: String, null: String, "p2"),
+    ).toDF("subj", "pred", "objValue", "objIsUri", "objLang", "objDatatype", "docId")
+    val periods = spark.emptyDataFrame
+      .sparkSession.createDataFrame(Seq(("p2", NS.EVENTS + "ContinuationWar")))
+      .toDF("docId", "period_uri")
+    val links = Linkers.linkUnits(fixture, Gazetteers.units(spark), periods,
+        Gazetteers.unitClasses(spark))
+      .select("subj", "objValue").as[(String, String)].collect().toMap
+    assert(!links.contains(NS.DATA + "p1"),
+      "non-Group actor (WelfareOrganization) must not be a unit candidate")
+    assert(links(NS.DATA + "p2") == NS.ACTORS + "actor_ktr15",
+      s"TR 2 must resolve through P95_has_formed to KTR 15, got ${links.get(NS.DATA + "p2")}")
+  }
+
+  test("unit class closure: reflexive + transitive over the ladder") {
+    import graft.link.Closure
+    val closure = Closure.reflexiveTransitive(Gazetteers.unitClasses(spark))
+      .as[(String, String)].collect().toSet
+    val A = NS.SCHEMA_ACTORS
+    assert(closure.contains((A + "Regiment", A + "Regiment")), "reflexive")
+    assert(closure.contains((A + "Regiment", A + "Unit")), "1 hop")
+    assert(closure.contains((A + "Regiment", A + "Group")), "2 hops")
+    assert(closure.contains((A + "Regiment", A + "Agent")), "3 hops")
+    assert(!closure.contains((A + "WelfareOrganization", A + "Group")),
+      "club ladder must not reach Group")
   }
 
   test("municipality + camp linking over synthetic corpus (J2/J3)") {
