@@ -23,9 +23,15 @@ object SparkEntry {
   /** The sandbox parquet files are single-split; the dedup/text/embedding
     * ops are CPU-bound per row, so spread them across cores the way a
     * many-split production table would be. Relational queries keep the
-    * plain scan (repartition there would block filter pushdown). */
-  private def tWide(s: SparkSession, dir: String, name: String): DataFrame =
-    t(s, dir, name).repartition(s.sparkContext.defaultParallelism)
+    * plain scan (repartition there would block filter pushdown).
+    * The repartition is GATED on the actual file count so this sandbox
+    * workaround cannot leak into a production deployment: a table that
+    * already has at least as many splits as cores scans as-is. */
+  private def tWide(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = t(s, dir, name)
+    if (df.inputFiles.length >= s.sparkContext.defaultParallelism) df
+    else df.repartition(s.sparkContext.defaultParallelism)
+  }
 
   /** money double -> exact cents (both engines round the same integral
     * value, so SUM stays exact) */
@@ -338,6 +344,18 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // ---- similarity: corpus x corpus ANN self-join (scale path, rows-only) -
+    // (the synthetic embeddings are near-orthogonal — max pairwise cosine
+    // ~0.51 — so the demo threshold sits where the data has mass; real
+    // dedup would run at ~0.9)
+    "embed_selfjoin_lsh" -> ((s, d) => {
+      import s.implicits._
+      Similarity.nearDuplicatePairsLsh(tWide(s, d, "embeddings"),
+          threshold = 0.3, bits = 8)
+        .select($"id_a", $"id_b")
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // ---- U2: set subtraction (EXCEPT) --------------------------------------
     "u2_except" -> ((s, d) => {
       import s.implicits._
@@ -383,12 +401,14 @@ object SparkEntry {
     }),
 
     // ---- KG golden fixture: reference CSV -> doc table -> triples ---------
-    // (exercises the real CSV ingest path in the gate; 289 triples = the
-    // reference-emitted golden set, rows-only here, set-compared in tests)
+    // (exercises the real CSV ingest path in the gate; emits canonical
+    // N-Triples keys so the DuckDB oracle hash-compares the result against
+    // the reference-emitted golden set — the P/R=1.0 anchor, in the gate)
     "kg_golden_fixture" -> ((s, _) => {
       import s.implicits._
-      Extraction.triples(DocIngest.prisonersDocs(s)).toDF()
-        .orderBy($"subj", $"pred", $"objValue")
+      Extraction.triples(DocIngest.prisonersDocs(s))
+        .map(_.key).toDF("nt")
+        .orderBy($"nt")
     }),
 
     // ---- KG errors side channel (rows-only) -------------------------------
@@ -399,7 +419,20 @@ object SparkEntry {
     }),
   )
 
+  /** The golden triple set as a DuckDB VALUES oracle: canonical NT lines
+    * parsed from the reference's test_data/prisoners.ttl (generated by
+    * graft.tools.DumpGoldenNt into resources; single quotes SQL-doubled).
+    * Turns the P/R anchor into a hash-exact row in the correctness gate. */
+  private def goldenFixtureSql: String = {
+    val in = getClass.getResourceAsStream("/golden_prisoners.nt")
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
+    val values = lines.filter(_.nonEmpty)
+      .map(l => s"('${l.replace("'", "''")}')").mkString(", ")
+    s"SELECT nt FROM (VALUES $values) AS t(nt) ORDER BY nt"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "kg_golden_fixture" -> goldenFixtureSql,
     "s2_filter_project" ->
       """SELECT c_custkey AS id, upper(c_name) AS name_u, c_mktsegment AS seg
         |FROM customer WHERE c_acctbal >= 1000 ORDER BY id""".stripMargin,

@@ -236,8 +236,24 @@ object Events {
     units.select(explode(rows).as("t")).select("t.*")
   }
 
-  /** period.sparql: related_period classification with the regex fallback
-    * cascade (capture date rule first, then textual evidence). */
+  /** period.sparql: related_period classification. The reference's second
+    * UNION block is a cascade of OPTIONALs over the same `?war` variable
+    * (period.sparql:17-49) — SPARQL's OPTIONAL join semantics make the
+    * FIRST binding win per solution row, so the Spark translation is a
+    * per-VALUE `when`-chain, not a union of independent branches:
+    *
+    *  - each parseable capture date emits its war by the 1941-06-24 rule
+    *    (one triple per distinct war, not min-date-only: a record with a
+    *    1940 and a 1942 capture gets both, as the reference does);
+    *  - each UNparseable capture value classifies winter-regex-first
+    *    (a value matching both "40" and "4[12345]" is winter ONLY);
+    *  - the additional_information fallback fires only when the record has
+    *    NO capture literal at all (in the reference, `?date` is already
+    *    bound to the capture value, so the info OPTIONALs can't join),
+    *    again winter-first per value;
+    *  - winter_war_collection fills only rows where no earlier OPTIONAL
+    *    bound `?war`: an unparseable capture value matching no regex, or a
+    *    no-capture record whose info values matched nothing. */
   def relatedPeriods(triples: DataFrame): DataFrame = {
     val spark = triples.sparkSession
     import spark.implicits._
@@ -247,31 +263,46 @@ object Events {
 
     val capture = triples.filter($"pred" === (NS.SCHEMA_POW + "date_of_capture"))
       .select($"subj", $"objValue", $"objDatatype")
+    val wwcSubjects = triples
+      .filter($"pred" === (NS.SCHEMA_POW + "winter_war_collection"))
+      .select($"subj").distinct()
+
+    // block 1: one war per parseable capture value
     val dated = capture.filter($"objDatatype" === NS.XSD_DATE)
-      .groupBy($"subj").agg(min($"objValue").as("cd"))
       .select($"subj",
-        when($"cd" < "1941-06-24", lit(CONFLICTS + "WinterWar"))
+        when($"objValue" < "1941-06-24", lit(CONFLICTS + "WinterWar"))
           .otherwise(lit(CONFLICTS + "ContinuationWar")).as("war"))
 
-    val undated = capture.join(dated.select("subj"), Seq("subj"), "left_anti")
-    val winterRx = undated.filter(lower($"objValue").rlike("talvisota|39|40"))
-      .select($"subj", lit(CONFLICTS + "WinterWar").as("war"))
-    val contRx = undated.filter(lower($"objValue").rlike("(4[12345])|jatkosota"))
-      .select($"subj", lit(CONFLICTS + "ContinuationWar").as("war"))
-
-    val info = triples.filter($"pred" === (NS.SCHEMA_POW + "additional_information"))
-      .join(dated.select("subj"), Seq("subj"), "left_anti")
-    val winterInfo = info.filter($"objValue".rlike("19(39|40)"))
-      .select($"subj", lit(CONFLICTS + "WinterWar").as("war"))
-    val contInfo = info.filter($"objValue".rlike("194[12345]"))
-      .select($"subj", lit(CONFLICTS + "ContinuationWar").as("war"))
-
-    val wwc = triples.filter($"pred" === (NS.SCHEMA_POW + "winter_war_collection"))
-      .join(dated.select("subj"), Seq("subj"), "left_anti")
+    // block 2, rows with a capture literal: per-value winter-first cascade
+    val undatedWar = capture
+      .filter($"objDatatype".isNull || $"objDatatype" =!= NS.XSD_DATE)
+      .select($"subj",
+        when(lower($"objValue").rlike("talvisota|39|40"), lit(CONFLICTS + "WinterWar"))
+          .when(lower($"objValue").rlike("(4[12345])|jatkosota"), lit(CONFLICTS + "ContinuationWar"))
+          .as("war"))
+    val undatedResolved = undatedWar.filter($"war".isNotNull)
+    val undatedWwc = undatedWar.filter($"war".isNull)
+      .join(wwcSubjects, Seq("subj"), "left_semi")
       .select($"subj", lit(CONFLICTS + "WinterWar").as("war"))
 
-    dated.unionByName(winterRx).unionByName(contRx)
-      .unionByName(winterInfo).unionByName(contInfo).unionByName(wwc)
+    // block 2, rows with NO capture literal: info fallback, winter-first
+    val noCapture = persons.select($"subj")
+      .join(capture.select($"subj").distinct(), Seq("subj"), "left_anti")
+    val infoWar = triples.filter($"pred" === (NS.SCHEMA_POW + "additional_information"))
+      .join(noCapture, Seq("subj"), "left_semi")
+      .select($"subj",
+        when($"objValue".rlike("19(39|40)"), lit(CONFLICTS + "WinterWar"))
+          .when($"objValue".rlike("194[12345]"), lit(CONFLICTS + "ContinuationWar"))
+          .as("war"))
+    val infoResolved = infoWar.filter($"war".isNotNull)
+    // wwc fires for a no-capture record only when NO info value matched
+    val noCaptureWwc = noCapture
+      .join(infoResolved.select($"subj").distinct(), Seq("subj"), "left_anti")
+      .join(wwcSubjects, Seq("subj"), "left_semi")
+      .select($"subj", lit(CONFLICTS + "WinterWar").as("war"))
+
+    dated.unionByName(undatedResolved).unionByName(undatedWwc)
+      .unionByName(infoResolved).unionByName(noCaptureWwc)
       .distinct()
       .join(persons, Seq("subj"))
       .select($"subj", lit(NS.SCHEMA_WARSA + "events/related_period").as("pred"),
@@ -281,16 +312,23 @@ object Events {
   }
 
   /** E21 backlink inversion: `?p crm:P70_documents ?o` →
-    * `?o crm:P70i_is_documented_in ?p` (process.sh:79 sed). */
+    * `?o crm:P70i_is_documented_in ?p` (process.sh:79 sed), guarded
+    * against backlinks already present in the graph — the FILTER NOT
+    * EXISTS discipline of construct_documents_links.sparql:21 applied to
+    * the inversion, so an incremental re-run over pre-populated state
+    * (which S14 resume explicitly supports) adds zero rows. */
   def invertDocumentsLinks(triples: DataFrame): DataFrame = {
     val spark = triples.sparkSession
     import spark.implicits._
-    triples.filter($"pred" === (NS.CRM + "P70_documents"))
+    val produced = triples.filter($"pred" === (NS.CRM + "P70_documents"))
       .select($"objValue".as("subj"),
         lit(NS.CRM + "P70i_is_documented_in").as("pred"),
         $"subj".as("objValue"), lit(true).as("objIsUri"),
         lit(null).cast("string").as("objLang"),
         lit(null).cast("string").as("objDatatype"), $"docId")
+    val existing = triples.filter($"pred" === (NS.CRM + "P70i_is_documented_in"))
+      .select($"subj", $"objValue")
+    produced.join(existing, Seq("subj", "objValue"), "left_anti")
   }
 
   /** E22 camp coordinate split: `"lat, long"` → wgs84 lat/long literals

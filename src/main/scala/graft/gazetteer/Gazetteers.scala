@@ -155,17 +155,24 @@ object Gazetteers {
     // same pick/skew formulas as SynthDocs so person_i genuinely matches
     // prisoner_i on every field — the 13-field scorer then has real signal
     // (rank/occupation/birth_place present on BOTH sides), and a prisoner
-    // blocking-matched to the WRONG person disagrees on them.
+    // blocking-matched to the WRONG person disagrees on them. Values are in
+    // the LINKED URI space: the reference generates its prisoner dict from
+    // the graph AFTER rank/municipality/occupation linking (process.sh
+    // ordering; linker.py:114-123 collects URIs), and the WarSampo person
+    // registry it matches against is URI-space too.
     def pick(values: Seq[String], idx: org.apache.spark.sql.Column) =
       element_at(typedlit(values), pmod(idx, lit(values.size)).cast("int") + 1)
     def skewed(m: Int) = pmod(pmod($"id", lit(m)) * pmod($"id", lit(m)), lit(m))
-    val ranks8 = Seq("sotamies", "korpraali", "alikersantti", "kersantti",
-      "vänrikki", "luutnantti", "kapteeni", "majuri")
-    val occupations8 = Seq("maanviljelijä", "sekatyömies", "kirvesmies",
-      "posteljooni", "kaavaaja", "opettaja", "suutari", "räätäli")
-    val municipalities12 = Seq("Helsinki", "Viipuri", "Tampere", "Karkkila",
-      "Juuka", "Kiihtelysvaara", "Lavia", "Hämeenlinna", "Ylämaa", "Sortavala",
-      "Käkisalmi", "Kuopio")
+    // rank URIs linked from SynthDocs' 8 rank literals (see ranks() locals)
+    val ranks8 = Seq("Sotamies", "Korpraali", "Alikersantti", "Kersantti",
+      "Vanrikki", "Luutnantti", "Kapteeni", "Majuri").map(NS.RANKS + _)
+    // occupation URIs = occupations() minting (slugified labels)
+    val occupations8 = Seq("maanviljelija", "sekatyomies", "kirvesmies",
+      "posteljooni", "kaavaaja", "opettaja", "suutari", "raatali")
+      .map("http://ldf.fi/warsa/occupations/" + _)
+    // municipality URIs: municipalities() mints k100.. in list order, and
+    // SynthDocs' 12 municipalities are its first 12 entries
+    val municipalities12 = (0 until 12).map(i => s"${NS.MUNICIPALITIES}k${100 + i}")
     spark.range(n.toLong).select(
       concat(lit(NS.ACTORS), lit("person_"), $"id").as("person"),
       element_at(typedlit(Seq("Matti", "Juho", "Olavi", "Antti", "Eino", "Veikko",

@@ -41,49 +41,74 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplanes: components are a pure hash
     * of (table, bit, dim) mapped to [-1, 1] — no RNG state, so executors
-    * need no broadcast and re-runs/resumes are bit-reproducible. The
-    * matrix is materialized driver-side into a LITERAL so the sketch is a
-    * dozen zip_with/aggregate nodes instead of thousands of per-component
-    * hash expressions (the expression-tree form fell out of codegen and
-    * cost ~80s on 2000 rows). */
-  private def planeMatrix(table: Int, bits: Int, dims: Int): Seq[Seq[Double]] =
-    (0 until bits).map { b =>
-      (0 until dims).map { d =>
-        val h = scala.util.hashing.MurmurHash3.productHash(("plane", table, b, d))
-        h.toDouble / Int.MaxValue
-      }
+    * need no broadcast and re-runs/resumes are bit-reproducible. */
+  private def planeArrays(bits: Int, tables: Int, dims: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(tables, bits, dims) { (t, b, d) =>
+      val h = scala.util.hashing.MurmurHash3.productHash(("plane", t, b, d))
+      h.toDouble / Int.MaxValue
     }
 
-  /** Sign sketch for one LSH table: `bits` hyperplane signs packed into a
-    * Long. */
+  /** All `tables` sign sketches of a vector in ONE batched primitive pass
+    * (tables × bits dot products over preallocated plane arrays). The
+    * previous form was a per-bit zip_with/aggregate expression TREE against
+    * a literal matrix — semantically identical but it evaluated `bits`
+    * array allocations per row and dominated the bench (8.5 s of a 30 s
+    * suite at sf0.1). One UDF invocation per row with while-loops is the
+    * faster shape here; the planes ride the closure, no broadcast needed. */
+  private def sketchAllUdf(bits: Int, tables: Int, dims: Int) = {
+    val planes = planeArrays(bits, tables, dims)
+    udf { (v: Seq[Float]) =>
+      val vec = v.toArray
+      val n = math.min(dims, vec.length)
+      val out = new Array[Long](tables)
+      var t = 0
+      while (t < tables) {
+        var sketch = 0L
+        var b = 0
+        while (b < bits) {
+          val plane = planes(t)(b)
+          var acc = 0.0
+          var d = 0
+          while (d < n) { acc += vec(d) * plane(d); d += 1 }
+          sketch = sketch * 2 + (if (acc > 0) 1L else 0L)
+          b += 1
+        }
+        out(t) = sketch
+        t += 1
+      }
+      out
+    }
+  }
+
+  /** (id, vec, bucket) rows: one bucket string per LSH table. */
+  private def sketched(df: DataFrame, id: String, vec: String,
+                       bits: Int, tables: Int, dims: Int): DataFrame = {
+    val sk = sketchAllUdf(bits, tables, dims)
+    df.select(col(id), col(vec), posexplode(sk(col(vec))))
+      .select(col(id), col(vec), concat(col("pos"), lit(":"), col("col")).as("bucket"))
+  }
+
+  /** Sign sketch for one LSH table, as a Column (kept for tests/ad-hoc
+    * use; the batch paths use [[sketchAllUdf]]). */
   def signSketch(vec: Column, table: Int, bits: Int, dims: Int): Column = {
-    val planes = typedlit(planeMatrix(table, bits, dims))
-    aggregate(
-      transform(sequence(lit(0), lit(bits - 1)), p =>
-        when(aggregate(zip_with(vec, element_at(planes, p + 1), (v, c) => v * c),
-          lit(0.0d), (acc, x) => acc + x) > 0, lit(1L)).otherwise(lit(0L))),
-      lit(0L), (acc, bit) => acc * 2 + bit)
+    val sk = sketchAllUdf(bits, table + 1, dims)
+    element_at(sk(vec), table + 1)
   }
 
   /** LSH-bucketed approximate cosine top-k: candidates must share at least
     * one of `tables` independent sign sketches; then exact cosine + top-k.
-    * Recall grows with `tables`; each table is an equi-join on a Long. */
+    * Recall grows with `tables`; each table is an equi-join on a Long.
+    * Queries are small by contract (broadcast); for corpus×corpus ANN use
+    * [[nearDuplicatePairsLsh]]. */
   def cosineTopKLsh(corpus: DataFrame, queries: DataFrame, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     bits: Int = 12, tables: Int = 4, dims: Int = 64): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
 
-    def sketched(df: DataFrame, id: String, vec: String): DataFrame = {
-      val v = col(vec).cast("array<double>")
-      val sketches = array((0 until tables).map(t =>
-        concat(lit(t), lit(":"), signSketch(v, t, bits, dims))): _*)
-      df.select(col(id), col(vec), explode(sketches).as("bucket"))
-    }
-
-    val qs = sketched(queries, idCol, vecCol)
+    val qs = sketched(queries, idCol, vecCol, bits, tables, dims)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"), $"bucket")
-    val cs = sketched(corpus, idCol, vecCol)
+    val cs = sketched(corpus, idCol, vecCol, bits, tables, dims)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), $"bucket")
 
     val cand = cs.join(broadcast(qs), Seq("bucket"))
@@ -95,5 +120,33 @@ object Similarity {
     cand.withColumn("rank", row_number().over(w))
       .filter($"rank" <= k)
       .select($"query_id", $"neighbor_id", $"rank", $"cos")
+  }
+
+  /** Corpus×corpus ANN self-join — the shape 100 TB embedding dedup needs
+    * (no broadcast side): sketch every row into `tables` buckets, pair
+    * within buckets under a rank-window cap (the same hot-bucket bound the
+    * text dedup paths use: O(n·maxBucket) pairs per bucket, adjacency
+    * chains keep duplicate groups connected), verify with exact cosine at
+    * `threshold`. Both sides shuffle once on the bucket key; skew is
+    * bounded by the cap, not by luck. */
+  def nearDuplicatePairsLsh(corpus: DataFrame, threshold: Double,
+                            idCol: String = "vec_id", vecCol: String = "embedding",
+                            bits: Int = 12, tables: Int = 4, dims: Int = 64,
+                            maxBucket: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val banded = sketched(corpus, idCol, vecCol, bits, tables, dims)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"bucket")
+      .orderBy(col(idCol))
+    val ranked = banded.withColumn("rk", row_number().over(w))
+    val l = ranked.select($"bucket", col(idCol).as("id_a"), col(vecCol).as("va"), $"rk".as("rk_a"))
+    val r = ranked.select($"bucket".as("bucket_b"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"), $"rk".as("rk_b"))
+    l.join(r, $"bucket" === $"bucket_b" && $"rk_b" > $"rk_a" && $"rk_b" <= $"rk_a" + maxBucket)
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", cosine($"va".cast("array<double>"), $"vb".cast("array<double>")))
+      .filter($"cos" >= threshold)
+      .select($"id_a", $"id_b", $"cos")
   }
 }

@@ -45,11 +45,11 @@ object Pipeline {
 
     // -- 1. extraction ----------------------------------------------------
     val extracted = store.stage("extract",
-      metrics = df => Map("triples" -> df.count())) {
+      metrics = Seq("triples" -> count(lit(1)))) {
       Extraction.triples(docs).toDF()
     }
     store.stage("extract_errors",
-      metrics = df => Map("errors" -> df.count())) {
+      metrics = Seq("errors" -> count(lit(1)))) {
       Extraction.errors(docs).toDF()
     }
 
@@ -61,7 +61,7 @@ object Pipeline {
     }
 
     // -- 3. linking (process.sh:30-96) ------------------------------------
-    val linked = store.stage("linked", metrics = df => Map("links" -> df.count())) {
+    val linked = store.stage("linked", metrics = Seq("links" -> count(lit(1)))) {
       val ranksGaz = Gazetteers.ranks(spark)
       val periods = Linkers.docPeriods(pruned)
       val links =
@@ -77,7 +77,7 @@ object Pipeline {
 
     // -- 4. person record linkage (J9) ------------------------------------
     val personLinks = store.stage("person_links",
-      metrics = df => Map("links" -> df.count())) {
+      metrics = Seq("links" -> count(lit(1)))) {
       RecordLinkage.linkPersons(pruned.unionByName(linked),
         Gazetteers.ranks(spark), Gazetteers.persons(spark))
     }
@@ -125,7 +125,7 @@ object Pipeline {
 
     // -- 8. final store: triples partitioned by predicate -----------------
     store.stage("final", partitionCols = Seq("pred_key"),
-      metrics = df => Map("triples" -> df.count())) {
+      metrics = Seq("triples" -> count(lit(1)))) {
       withPredKey(withEvents)
     }
   }

@@ -3,7 +3,9 @@ package graft.pipeline
 import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Versioned-snapshot table layer — the checkpoint/resume contract of the
@@ -63,20 +65,49 @@ final class SnapshotStore(spark: SparkSession, workDir: String) {
   }
 
   /** Write a new snapshot version. `partitionCols` become physical
-    * partitions (e.g. predicate partitioning of the triples table). */
+    * partitions (e.g. predicate partitioning of the triples table).
+    *
+    * Metrics are aggregate expressions evaluated via `df.observe()` INSIDE
+    * the write job — one pass over the data total. (The previous design
+    * took caller-computed `df.count()` values, which evaluated the whole
+    * stage plan once per metric before the write recomputed it — a 2-3×
+    * cost on the most expensive stages at scale.) `rows` and per-file
+    * lineage come from the written parquet footers only: metadata reads,
+    * never a second pass over the data. */
   def write(stage: String, df: DataFrame, partitionCols: Seq[String] = Nil,
-            metrics: Map[String, Long] = Map.empty): Int = {
+            metrics: Seq[(String, Column)] = Nil): Int = {
     val v = latestVersion(stage).map(_ + 1).getOrElse(0)
     val dir = versionDir(stage, v)
-    val writer = df.write.mode("overwrite")
+
+    val (toWrite, obs) =
+      if (metrics.isEmpty) (df, None)
+      else {
+        val o = Observation(s"graft-$stage-v$v")
+        val aggs = metrics.map { case (n, c) => c.as(n) }
+        (df.observe(o, aggs.head, aggs.tail: _*), Some(o))
+      }
+    val writer = toWrite.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(dir.toString)
 
-    // per-partition lineage: every data file with its size (row-level
-    // lineage is carried IN the data as the docId column)
-    val files = listFilesRec(dir).filter(_.getName.endsWith(".parquet"))
-      .map(f => s"""    {"file": ${js(rel(dir, f))}, "bytes": ${fs.getFileStatus(f).getLen}}""")
-    val rows = spark.read.parquet(dir.toString).count()
+    val metricVals: Seq[(String, String)] = obs match {
+      case Some(o) => metrics.map { case (n, _) => n -> String.valueOf(o.get(n)) }
+      case None => Nil
+    }
+
+    // per-partition lineage from parquet FOOTERS (metadata-only): every
+    // data file with its byte size and row count; row-level lineage is
+    // carried IN the data as the docId column
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fileMeta = listFilesRec(dir).filter(_.getName.endsWith(".parquet")).map { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      val n = try reader.getRecordCount finally reader.close()
+      (f, fs.getFileStatus(f).getLen, n)
+    }
+    val rows = fileMeta.map(_._3).sum
+    val files = fileMeta.map { case (f, bytes, n) =>
+      s"""    {"file": ${js(rel(dir, f))}, "bytes": $bytes, "rows": $n}"""
+    }
 
     val manifest =
       s"""{
@@ -84,7 +115,7 @@ final class SnapshotStore(spark: SparkSession, workDir: String) {
          |  "version": $v,
          |  "rows": $rows,
          |  "partition_columns": [${partitionCols.map(js).mkString(", ")}],
-         |  "metrics": {${metrics.map { case (k, x) => s"${js(k)}: $x" }.mkString(", ")}},
+         |  "metrics": {${metricVals.map { case (k, x) => s"${js(k)}: $x" }.mkString(", ")}},
          |  "files": [
          |${files.mkString(",\n")}
          |  ]
@@ -99,14 +130,15 @@ final class SnapshotStore(spark: SparkSession, workDir: String) {
 
   /** Run-or-resume: if a committed snapshot exists, read it; otherwise
     * compute, commit, and read back (so downstream always consumes the
-    * materialized — deterministic — bytes). */
+    * materialized — deterministic — bytes). Metric aggregates ride the
+    * write job via observe() — a metric'd stage costs exactly one pass. */
   def stage(name: String, partitionCols: Seq[String] = Nil,
-            metrics: DataFrame => Map[String, Long] = _ => Map.empty)
+            metrics: Seq[(String, Column)] = Nil)
            (compute: => DataFrame): DataFrame = {
     if (!exists(name)) {
       val t0 = System.nanoTime()
       val df = compute
-      write(name, df, partitionCols, metrics(df))
+      write(name, df, partitionCols, metrics)
       println(f"[stage-time] $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     read(name)

@@ -55,6 +55,23 @@ class GoldenTtlSpec extends AnyFunSuite {
     assert(before == after)
   }
 
+  test("schema graph emit: one Property + lang labels per mapped field (E18)") {
+    import graft.extract.FieldSpecs
+    val schema = Extraction.schemaTriples(spark).collect()
+    // every mapped field URI is typed rdf:Property exactly once
+    val typed = schema.filter(t => t.pred == NS.RDF_TYPE && t.objValue == NS.RDF_PROPERTY)
+      .map(_.subj).toSet
+    val expected = FieldSpecs.prisonerFields.map(_.uri).toSet
+    assert(typed == expected, s"typed=${typed.size} expected=${expected.size}")
+    // labels carry fi/en language tags (csv_to_rdf.py:367-374)
+    val labels = schema.filter(_.pred == NS.SKOS_PREF_LABEL)
+    assert(labels.nonEmpty && labels.forall(t => t.objLang == "fi" || t.objLang == "en"))
+    // known field: date_of_birth has both language labels
+    val dob = labels.filter(_.subj == NS.SCHEMA_WARSA + "date_of_birth")
+      .map(t => t.objLang -> t.objValue).toMap
+    assert(dob == Map("fi" -> "Syntymäpäivä", "en" -> "Date of birth"))
+  }
+
   test("reification lookup returns the mikrofilmi source (tests.py:102-115)") {
     val docs = DocIngest.prisonersDocs(spark)
     val triples = Extraction.triples(docs).collect()

@@ -21,6 +21,16 @@ class LinkersSpec extends AnyFunSuite {
     Extraction.triples(SynthDocs.fromDocuments(spark, "/root/testdata/sf0.001")).toDF()
       .persist()
 
+  /** triples + rank/municipality/occupation links — the graph state person
+    * record linkage actually runs on in the pipeline (the reference links
+    * those first too, so its prisoner dict holds URIs, linker.py:114-123). */
+  private lazy val linkedTriples = {
+    val links = Linkers.linkRanks(triples, Gazetteers.ranks(spark))
+      .unionByName(Linkers.linkMunicipalities(triples, Gazetteers.municipalities(spark)))
+      .unionByName(Linkers.linkOccupations(triples, Gazetteers.occupations(spark)))
+    triples.unionByName(links).persist()
+  }
+
   test("rank linking: abbreviation + label equi-join (J5)") {
     val links = Linkers.linkRanks(triples, Gazetteers.ranks(spark))
     assert(links.count() > 0)
@@ -98,6 +108,71 @@ class LinkersSpec extends AnyFunSuite {
       "club ladder must not reach Group")
   }
 
+  test("related_period cascade: OPTIONAL-join semantics of period.sparql") {
+    val W = "http://ldf.fi/warsa/conflicts/WinterWar"
+    val C = "http://ldf.fi/warsa/conflicts/ContinuationWar"
+    def typ(s: String) =
+      (NS.DATA + s, NS.RDF_TYPE, NS.SCHEMA_WARSA + "PrisonerRecord", true, null: String, null: String, s)
+    def cap(s: String, v: String, dated: Boolean = false) =
+      (NS.DATA + s, NS.SCHEMA_POW + "date_of_capture", v, false, null: String,
+        if (dated) NS.XSD_DATE else null, s)
+    def info(s: String, v: String) =
+      (NS.DATA + s, NS.SCHEMA_POW + "additional_information", v, false, null: String, null: String, s)
+    def wwc(s: String) =
+      (NS.DATA + s, NS.SCHEMA_POW + "winter_war_collection", "true", false, null: String, null: String, s)
+
+    val fixture = Seq(
+      // r1: one undated value matching BOTH regexes -> winter wins per value
+      typ("r1"), cap("r1", "syksy 1940-41"),
+      // r2: two undated values, one per war -> BOTH triples
+      typ("r2"), cap("r2", "syksy 40"), cap("r2", "kesä 42"),
+      // r3: two parseable dates straddling 1941-06-24 -> BOTH triples
+      typ("r3"), cap("r3", "1940-01-01", dated = true), cap("r3", "1942-01-01", dated = true),
+      // r4: no capture; two info values, one per war -> BOTH (per value)
+      typ("r4"), info("r4", "vangittu 1939 syksyllä"), info("r4", "palasi 1944"),
+      // r5: nothing matches, wwc present -> winter
+      typ("r5"), wwc("r5"),
+      // r6: undated unmatched capture + wwc -> winter via the wwc row-fill
+      typ("r6"), cap("r6", "tuntematon"), wwc("r6"),
+      // r7: undated capture bound continuation -> wwc must NOT also fire
+      typ("r7"), cap("r7", "kesä 42"), wwc("r7"),
+      // r8: boundary date -> continuation (strict <)
+      typ("r8"), cap("r8", "1941-06-24", dated = true),
+      // r9: mixed dated+undated -> dated rule AND undated regex both fire
+      typ("r9"), cap("r9", "1942-01-01", dated = true), cap("r9", "talvisota"),
+      // r10: capture present -> info fallback must NOT fire
+      typ("r10"), cap("r10", "tuntematon"), info("r10", "1939"),
+    ).toDF("subj", "pred", "objValue", "objIsUri", "objLang", "objDatatype", "docId")
+
+    val got = Events.relatedPeriods(fixture)
+      .select("subj", "objValue").as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    assert(got(NS.DATA + "r1") == Set(W), s"r1: ${got.get(NS.DATA + "r1")}")
+    assert(got(NS.DATA + "r2") == Set(W, C))
+    assert(got(NS.DATA + "r3") == Set(W, C))
+    assert(got(NS.DATA + "r4") == Set(W, C))
+    assert(got(NS.DATA + "r5") == Set(W))
+    assert(got(NS.DATA + "r6") == Set(W))
+    assert(got(NS.DATA + "r7") == Set(C), "wwc must not fire on a bound row")
+    assert(got(NS.DATA + "r8") == Set(C), "1941-06-24 itself is continuation")
+    assert(got(NS.DATA + "r9") == Set(W, C))
+    assert(!got.contains(NS.DATA + "r10"),
+      "info fallback must not fire when a capture literal exists")
+  }
+
+  test("documents-links inversion is idempotent over pre-populated state") {
+    val fixture = Seq(
+      (NS.DATA + "p1", NS.CRM + "P70_documents", NS.ACTORS + "person_1", true, null: String, null: String, "p1"),
+      (NS.DATA + "p2", NS.CRM + "P70_documents", NS.ACTORS + "person_2", true, null: String, null: String, "p2"),
+    ).toDF("subj", "pred", "objValue", "objIsUri", "objLang", "objDatatype", "docId")
+    val first = Events.invertDocumentsLinks(fixture)
+    assert(first.count() == 2)
+    // re-run over state that already holds the backlinks -> zero new rows
+    val second = Events.invertDocumentsLinks(fixture.unionByName(first))
+    assert(second.count() == 0, "guarded inversion must add nothing on re-run")
+  }
+
   test("municipality + camp linking over synthetic corpus (J2/J3)") {
     val mun = Linkers.linkMunicipalities(triples, Gazetteers.municipalities(spark))
     assert(mun.count() > 0)
@@ -105,6 +180,73 @@ class LinkersSpec extends AnyFunSuite {
     // camps link from captivity location_literal
     val camps = Linkers.linkCamps(triples, Gazetteers.camps(spark))
     assert(camps.count() > 0)
+  }
+
+  test("PNR death municipality: place-type filter (J4)") {
+    val fixture = Seq(
+      (NS.DATA + "p1", NS.SCHEMA_POW + "municipality_of_death_literal", "Helsinki", false, null: String, null: String, "p1"),
+      (NS.DATA + "p2", NS.SCHEMA_POW + "municipality_of_death_literal", "Ei-olemassa", false, null: String, null: String, "p2"),
+      // wrong predicate -> must not link even though the label matches
+      (NS.DATA + "p3", NS.SCHEMA_POW + "municipality_of_birth_literal", "Helsinki", false, null: String, null: String, "p3"),
+    ).toDF("subj", "pred", "objValue", "objIsUri", "objLang", "objDatatype", "docId")
+    val links = Linkers.linkPnrDeathMunicipality(fixture, Gazetteers.pnrPlaces(spark))
+      .select("subj", "pred", "objValue").as[(String, String, String)].collect()
+    assert(links.length == 1)
+    assert(links.head._1 == NS.DATA + "p1")
+    assert(links.head._2 == NS.SCHEMA_POW + "municipality_of_death")
+    assert(links.head._3.startsWith("http://ldf.fi/pnr/P_"))
+    // place-type restriction has bite: a gazetteer row outside 540/550
+    // with the same label must not win over the typed row
+    val poisoned = Gazetteers.pnrPlaces(spark)
+      .unionByName(Seq(("http://ldf.fi/pnr/P_0", "Helsinki", 100))
+        .toDF("uri", "label", "place_type"))
+    val links2 = Linkers.linkPnrDeathMunicipality(fixture, poisoned)
+      .select("objValue").as[String].collect()
+    assert(!links2.contains("http://ldf.fi/pnr/P_0"),
+      "non-540/550 place type must be filtered out")
+  }
+
+  test("video linking: index rows -> prisoner/warsa links + media docs (J12)") {
+    val (prisonerLinks, docs) = Linkers.linkVideos(
+      Gazetteers.videoIndex(spark), Gazetteers.videoLabels(spark))
+    val byProp = prisonerLinks
+      .select("subj", "objValue").as[(String, String)].collect()
+    // index rows 1 and 2 link prisoners (row 2 has TWO comma-split files)
+    assert(byProp.count(_._1 == NS.DATA + "prisoner_1") == 1)
+    assert(byProp.count(_._1 == NS.DATA + "prisoner_2") == 2)
+    assert(byProp.forall(_._2.startsWith(NS.MEDIA + "video_")))
+    // the warsa_uri row links the actor, not a prisoner
+    val warsa = docs.filter($"pred" === (NS.SCHEMA_WARSA + "documented_in_video"))
+      .select("subj").as[String].collect()
+    assert(warsa.sameElements(Array(NS.ACTORS + "person_5")))
+    // media doc entities carry type + contentUrl + label
+    assert(docs.filter($"pred" === NS.RDF_TYPE &&
+      $"objValue" === (NS.SCHEMA_WARSA + "Video")).count() == 4)
+    val urls = docs.filter($"pred" === (NS.SCHEMA_ORG + "contentUrl"))
+      .select("objValue").as[String].collect()
+    assert(urls.length == 4 &&
+      urls.forall(_.startsWith("https://static.sotasampo.fi/videos/prisoners/")))
+    // labels: known label from the dictionary, fallback "Video" otherwise
+    val labels = docs.filter($"pred" === NS.SKOS_PREF_LABEL)
+      .select("subj", "objValue").as[(String, String)].collect().toMap
+    assert(labels.values.exists(_.contains("Olavi Martikainen")))
+  }
+
+  test("camp coordinate split: lat/long literals (E22)") {
+    val coords = Events.campCoordinates(Gazetteers.camps(spark))
+      .select("subj", "pred", "objValue").as[(String, String, String)].collect()
+    val wgs = "http://www.w3.org/2003/01/geo/wgs84_pos#"
+    val byCamp = coords.groupBy(_._1)
+    // every camp with coordinates yields exactly lat + long
+    byCamp.values.foreach { rows =>
+      assert(rows.map(_._2).toSet == Set(wgs + "lat", wgs + "long"), rows.mkString(","))
+    }
+    val vk = coords.filter(_._1 == NS.DATA + "camp_vienan-kemi")
+      .map(r => r._2 -> r._3).toMap
+    assert(vk(wgs + "lat") == "65.0" && vk(wgs + "long") == "34.6")
+    // numbered camps use the "6X.NN, 3X.NN" shape from construct_camps
+    val c74 = coords.filter(_._1 == NS.DATA + "camp_74").map(r => r._2 -> r._3).toMap
+    assert(c74(wgs + "lat") == "67.74" && c74(wgs + "long") == "37.74")
   }
 
   test("magazine multimap + sources rewrite (J10/J13)") {
@@ -144,12 +286,12 @@ class LinkersSpec extends AnyFunSuite {
   }
 
   test("record linkage end-to-end: features, salted blocking, threshold (J9)") {
-    val links = RecordLinkage.linkPersons(triples, Gazetteers.ranks(spark),
+    val links = RecordLinkage.linkPersons(linkedTriples, Gazetteers.ranks(spark),
       Gazetteers.persons(spark))
     val n = links.count()
     assert(n > 0, "expected some person links from the aligned synth distributions")
     // deterministic across runs
-    val n2 = RecordLinkage.linkPersons(triples, Gazetteers.ranks(spark),
+    val n2 = RecordLinkage.linkPersons(linkedTriples, Gazetteers.ranks(spark),
       Gazetteers.persons(spark)).count()
     assert(n == n2)
   }
@@ -157,7 +299,7 @@ class LinkersSpec extends AnyFunSuite {
   test("record linkage semantic accuracy: linked person shares name + birth window") {
     val ranksGaz = Gazetteers.ranks(spark)
     val personsGaz = Gazetteers.persons(spark)
-    val feats = RecordLinkage.prisonerFeatures(triples, ranksGaz)
+    val feats = RecordLinkage.prisonerFeatures(linkedTriples, ranksGaz)
     val links = RecordLinkage.scorePairs(
       RecordLinkage.candidatePairs(feats, personsGaz), feats, personsGaz)
 
@@ -230,7 +372,8 @@ class LinkersSpec extends AnyFunSuite {
   test("events: anti-join guard suppresses already-evented persons (J15)") {
     val ranksGaz = Gazetteers.ranks(spark)
     val linked = triples.unionByName(
-      RecordLinkage.linkPersons(triples, ranksGaz, Gazetteers.persons(spark)))
+      RecordLinkage.linkPersons(linkedTriples, ranksGaz, Gazetteers.persons(spark)))
+      .persist()
     val frame = Events.recordFrame(linked)
     val none = linked.limit(0)
 
@@ -253,7 +396,8 @@ class LinkersSpec extends AnyFunSuite {
     val ranksGaz = Gazetteers.ranks(spark)
     val linked = triples
       .unionByName(Linkers.linkRanks(triples, ranksGaz))
-      .unionByName(RecordLinkage.linkPersons(triples, ranksGaz, Gazetteers.persons(spark)))
+      .unionByName(RecordLinkage.linkPersons(linkedTriples, ranksGaz, Gazetteers.persons(spark)))
+      .persist()
     val frame = Events.recordFrame(linked)
     val none = linked.limit(0)
 

@@ -120,6 +120,32 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN self-join: finds identical vectors, bounded on adversarial input") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // plant an exact duplicate of vec 0 under a fresh id
+    val dup = emb.filter($"vec_id" === 0).select(lit(999999L).as("vec_id"), $"embedding")
+    val pairs = Similarity.nearDuplicatePairsLsh(emb.unionByName(dup), threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val planted = pairs.find(p => p._1 == 0L && p._2 == 999999L)
+    assert(planted.isDefined, s"planted duplicate not found among ${pairs.length} pairs")
+    assert(planted.get._3 > 0.999)
+    // deterministic
+    val again = Similarity.nearDuplicatePairsLsh(emb.unionByName(dup), threshold = 0.999).count()
+    assert(again == pairs.length)
+
+    // adversarial: 5k identical vectors land in ONE bucket per table;
+    // the rank-window cap keeps the join linear, chains keep the group
+    val n = 5000
+    val one = spark.range(n.toLong).select($"id".as("vec_id"),
+      array((0 until 64).map(i => lit(0.1f * ((i % 7) + 1))): _*).as("embedding"))
+    val cap = 8
+    val bounded = Similarity.nearDuplicatePairsLsh(one, threshold = 0.999, maxBucket = cap)
+    val cnt = bounded.count()
+    assert(cnt <= n.toLong * cap, s"pair count $cnt exceeds n*maxBucket")
+    assert(bounded.select("id_a").distinct().count() == n - 1, "adjacency chain broken")
+  }
+
   test("multimodal: schema, batched stub decode, frame sampling") {
     val media = Multimodal.mediaTable(
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))

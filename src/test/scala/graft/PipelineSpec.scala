@@ -35,7 +35,7 @@ class PipelineSpec extends AnyFunSuite {
 
     var computed = 0
     def compute = { computed += 1; Seq((1, "a"), (2, "b")).toDF("id", "v") }
-    val d1 = store.stage("s1", metrics = df => Map("rows" -> df.count()))(compute)
+    val d1 = store.stage("s1", metrics = Seq("rows" -> count(lit(1))))(compute)
     assert(computed == 1 && d1.count() == 2)
 
     // resume: second run must NOT recompute
@@ -48,6 +48,25 @@ class PipelineSpec extends AnyFunSuite {
     // new version on explicit write
     val v = store.write("s1", Seq((3, "c")).toDF("id", "v"))
     assert(v == 1 && store.read("s1").count() == 1)
+  }
+
+  test("snapshot store: metric'd stage evaluates its plan exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_onepass").toString
+    val store = new SnapshotStore(spark, dir)
+    // an accumulator in the plan counts row evaluations: the old design
+    // (caller df.count() + write + post-write count()) tripled this
+    val acc = spark.sparkContext.longAccumulator("evals")
+    val n = 1000L
+    val counted = spark.range(n).as[Long]
+      .map { x => acc.add(1); x }
+      .toDF("id")
+    store.stage("one", metrics = Seq("rows" -> count(lit(1))))(counted)
+    assert(acc.value == n,
+      s"stage evaluated the plan ${acc.value.toDouble / n}x, expected exactly 1x")
+    val manifest = store.readManifest("one")
+    assert(manifest.contains("\"rows\": 1000"), manifest)
+    assert(manifest.contains("\"rows\": 1000") && manifest.contains("\"metrics\": {\"rows\": 1000}"),
+      s"observe metric missing: $manifest")
   }
 
   test("full pipeline over synthetic docs: stages commit, output sane, resume identical") {
