@@ -251,6 +251,14 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // ---- dedup: pairs -> connected components -> canonical assignment -----
+    "dedup_groups" -> ((s, d) => {
+      import s.implicits._
+      val pairs = Dedup.ngramJaccardPairs(tWide(s, d, "documents"), "doc_id", "text",
+        threshold = 0.5)
+      Dedup.nearDuplicateGroups(pairs).orderBy($"doc_id")
+    }),
+
     // ---- text analysis: token counting ------------------------------------
     "text_token_count" -> ((s, d) => {
       import s.implicits._
@@ -558,6 +566,36 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_groups" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+        |  FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 1))) AS u(i)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM cand
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+        |edges AS (
+        |  SELECT CAST(id_a AS VARCHAR) AS src, CAST(id_b AS VARCHAR) AS dst FROM pairs
+        |  UNION SELECT CAST(id_b AS VARCHAR), CAST(id_a AS VARCHAR) FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |reach AS (
+        |  WITH RECURSIVE r(node, comp) AS (
+        |    SELECT node, node FROM nodes
+        |    UNION
+        |    SELECT e.dst, r.comp FROM r JOIN edges e ON e.src = r.node)
+        |  SELECT node, min(comp) AS comp FROM r GROUP BY node)
+        |SELECT node AS doc_id, comp AS canonical_id FROM reach ORDER BY doc_id""".stripMargin,
 
     "text_token_count" ->
       """SELECT doc_id,

@@ -136,6 +136,30 @@ object Dedup {
       .select($"id_a", $"id_b", $"hamming")
   }
 
+  /** Near-duplicate GROUPS: any pair table (from minhash/simhash/ngram/
+    * embedding paths) → connected components → one row per document with
+    * its cluster's canonical (min) id. This is the shape a 100 TB dedup
+    * actually keeps: the pair list is transient, the (doc, canonical)
+    * assignment is what the pipeline joins against to drop or collapse
+    * duplicates (and why the capped candidate paths only need rank
+    * ADJACENCY, not all pairs — components reconnect the full group). */
+  def nearDuplicateGroups(pairs: DataFrame /* (id_a, id_b, ...) */): DataFrame = {
+    val edges = pairs.select(col("id_a").cast("string").as("src"),
+      col("id_b").cast("string").as("dst"))
+    graft.canon.ConnectedComponents.components(edges)
+      .select(col("node").as("doc_id"), col("comp").as("canonical_id"))
+  }
+
+  /** Drop near-duplicates: keep only cluster canonicals + unclustered docs. */
+  def dropNearDuplicates(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val losers = nearDuplicateGroups(pairs)
+      .filter($"doc_id" =!= $"canonical_id")
+      .select($"doc_id".as("__loser"))
+    docs.join(losers, docs(idCol).cast("string") === col("__loser"), "left_anti")
+  }
+
   /** Exact n-gram Jaccard similarity join with PREFIX FILTERING (the
     * SSJoin/PPJoin blocking idea — public algorithm, Chaudhuri et al.
     * ICDE'06): order each doc's shingles by a global order (their hash),

@@ -53,6 +53,18 @@ class OpsSpec extends AnyFunSuite {
     assert(exact.isDefined && exact.get._3 == 0)
   }
 
+  test("near-dup groups: pairs -> components -> canonical assignment + drop") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val groups = Dedup.nearDuplicateGroups(pairs)
+      .as[(String, String)].collect().toMap
+    assert(groups("1") == "1" && groups("2") == "1" && groups("3") == "1",
+      "chain 1-2-3 collapses to canonical 1 (adjacency suffices)")
+    assert(groups("7") == "7" && groups("8") == "7")
+    val kept = Dedup.dropNearDuplicates(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(1L, 4L, 5L)), kept.mkString(","))
+  }
+
   test("simhash: adversarial boilerplate corpus stays bounded by the bucket cap") {
     // 10k identical docs -> ONE simhash value -> 4 hot buckets. Uncapped,
     // that is ~2·10^8 candidate pairs; the rank-window cap bounds it at
