@@ -352,6 +352,17 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // ---- similarity: IVF cells + probe search (scale path, rows-only) -----
+    "embed_cosine_ivf" -> ((s, d) => {
+      import s.implicits._
+      val emb = tWide(s, d, "embeddings").select("vec_id", "embedding")
+      val (centroids, indexed) = Similarity.ivfIndex(emb, k = 16, iters = 3)
+      Similarity.cosineTopKIvf(centroids, indexed, emb.filter($"vec_id" < 8),
+          k = 5, nprobe = 4)
+        .select($"query_id", $"neighbor_id", $"rank")
+        .orderBy($"query_id", $"rank")
+    }),
+
     // ---- similarity: corpus x corpus ANN self-join (scale path, rows-only) -
     // (the synthetic embeddings are near-orthogonal — max pairwise cosine
     // ~0.51 — so the demo threshold sits where the data has mass; real

