@@ -32,10 +32,15 @@ object ConnectedComponents {
     val spark = edges.sparkSession
     import spark.implicits._
 
+    // materialize the symmetric edge set ONCE — the loop touches it twice
+    // per iteration (neighbor propagation + convergence check), and an
+    // expensive upstream plan (e.g. a similarity join producing the pairs)
+    // must not re-execute per iteration
     val sym = edges.select($"src", $"dst")
       .unionByName(edges.select($"dst".as("src"), $"src".as("dst")))
       .filter($"src" =!= $"dst")
       .distinct()
+      .localCheckpoint()
 
     var labels = sym.select($"src".as("node")).distinct()
       .withColumn("comp", $"node")
