@@ -37,6 +37,21 @@ object Multimodal {
       (pmod(col("doc_id"), lit(9)).cast("int") * 64 + 256).as("height"),
       when(pmod(col("doc_id"), lit(3)) === 1, 16000).otherwise(0).as("sample_rate"))
 
+  /** Media references from the interleaved doc table (the input_hint span
+    * shape): one row per span whose `media_ref` is set, ordinal preserved.
+    * This is the bridge from the KG input (`spans[].media_ref`, e.g. the
+    * propaganda-magazine links the reference ingests as URL cells,
+    * mapping.py photograph/magazine columns) into the media pipeline:
+    * join the result against a blob table on `media_ref` and feed
+    * [[extractFeatures]]. Pure explode+filter — narrow, no shuffle. */
+  def mediaRefs(docTable: DataFrame): DataFrame =
+    docTable
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("span_seq", "span")))
+      .filter(col("span.media_ref").isNotNull)
+      .select(col("doc_id"), col("span.kind").as("kind"),
+        col("span.media_ref").as("media_ref"),
+        col("span.offset").as("offset"), col("span_seq"))
+
   /** ??? -> deterministic fake decode: a real implementation would hand
     * `payload` to an image/audio codec here. The fake derives an 8-dim
     * feature vector from byte statistics so downstream similarity tests

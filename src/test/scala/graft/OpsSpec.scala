@@ -188,6 +188,24 @@ class OpsSpec extends AnyFunSuite {
     assert(res.map(_.toString).sorted.sameElements(res2.map(_.toString).sorted))
   }
 
+  test("multimodal: media refs extracted from interleaved spans, order kept") {
+    import graft.extract.DocIngest
+    // the reference fixture carries a propaganda_magazine_link cell ->
+    // its span is the one with media_ref set
+    val refs = Multimodal.mediaRefs(DocIngest.prisonersDocs(spark))
+      .collect()
+    assert(refs.nonEmpty, "golden fixture has magazine-link media spans")
+    refs.foreach { r =>
+      assert(r.getAs[String]("media_ref").startsWith("http"),
+        s"media_ref should be the link URL: $r")
+      assert(r.getAs[String]("kind").nonEmpty)
+    }
+    // ordinal stability: same rows under repartition
+    val again = Multimodal.mediaRefs(DocIngest.prisonersDocs(spark).repartition(7))
+      .collect()
+    assert(refs.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
   test("multimodal: schema, batched stub decode, frame sampling") {
     val media = Multimodal.mediaTable(
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
