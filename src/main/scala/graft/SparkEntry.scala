@@ -442,16 +442,35 @@ object SparkEntry {
     * parsed from the reference's test_data/prisoners.ttl (generated by
     * graft.tools.DumpGoldenNt into resources; single quotes SQL-doubled).
     * Turns the P/R anchor into a hash-exact row in the correctness gate. */
-  private def goldenFixtureSql: String = {
-    val in = getClass.getResourceAsStream("/golden_prisoners.nt")
-    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
-    val values = lines.filter(_.nonEmpty)
-      .map(l => s"('${l.replace("'", "''")}')").mkString(", ")
-    s"SELECT nt FROM (VALUES $values) AS t(nt) ORDER BY nt"
-  }
+  private def goldenFixtureSql: Option[String] =
+    Option(getClass.getResourceAsStream("/golden_prisoners.nt")).map { in =>
+      val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
+      val values = lines.filter(_.nonEmpty)
+        .map(l => s"('${l.replace("'", "''")}')").mkString(", ")
+      s"SELECT nt FROM (VALUES $values) AS t(nt) ORDER BY nt"
+    }
 
-  def oracleSql: Map[String, String] = Map(
-    "kg_golden_fixture" -> goldenFixtureSql,
+  def oracleSql: Map[String, String] =
+    goldenFixtureSql.map("kg_golden_fixture" -> _).toMap ++ Map(
+    // the error side-channel is a pure function of doc_id in the synthetic
+    // corpus (every 17th doc gets the unparseable "n.<year>" birth string,
+    // SynthDocs.scala:60-61), so the expected rows — including the
+    // converted "Family, Given" name — are DuckDB-expressible exactly
+    "kg_errors" ->
+      """SELECT 'prisoner_' || CAST(doc_id AS VARCHAR) AS "docId",
+        |  (['Virtanen','Korhonen','Mäkinen','Nieminen','Hämäläinen','Laine',
+        |    'Heikkinen','Koskinen','Järvinen','Lehtonen','Saarinen','Salminen',
+        |    'Heino','Tuominen','Rantanen','Kinnunen','Laitinen','Karjalainen',
+        |    'Jokinen','Mattila'])[CAST(doc_id % 20 AS INT) + 1]
+        |  || ', ' ||
+        |  (['Matti','Juho','Olavi','Antti','Eino','Veikko','Toivo','Ilmari',
+        |    'Aarne','Lauri','Erkki','Paavo','Reino','Tauno','Kauko','Pentti'])
+        |    [CAST((doc_id // 7) % 16 AS INT) + 1] AS name,
+        |  'syntymäaika' AS "column",
+        |  'Päivämäärä ei ole kelvollinen' AS error,
+        |  'n.' || CAST(1900 + doc_id % 25 AS VARCHAR) AS value
+        |FROM documents WHERE doc_id % 17 = 0
+        |ORDER BY "docId"""".stripMargin,
     "s2_filter_project" ->
       """SELECT c_custkey AS id, upper(c_name) AS name_u, c_mktsegment AS seg
         |FROM customer WHERE c_acctbal >= 1000 ORDER BY id""".stripMargin,
