@@ -297,12 +297,14 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
-    // ---- similarity: brute-force cosine top-k (fp -> rows-only oracle) ----
+    // ---- similarity: brute-force cosine top-k (rank-only output is
+    // float-free, so the DuckDB mirror with double-cast dot products is
+    // hash-exact) --------------------------------------------------------
     "embed_cosine_topk" -> ((s, d) => {
       import s.implicits._
       val emb = tWide(s, d, "embeddings")
       Similarity.cosineTopK(emb, emb.filter($"vec_id" < 8), k = 5)
-        .select($"query_id", $"neighbor_id", $"rank")
+        .select($"query_id", $"neighbor_id", $"rank".cast("long").as("rank"))
         .orderBy($"query_id", $"rank")
     }),
 
@@ -626,6 +628,21 @@ object SparkEntry {
         |    SELECT e.dst, r.comp FROM r JOIN edges e ON e.src = r.node)
         |  SELECT node, min(comp) AS comp FROM r GROUP BY node)
         |SELECT node AS doc_id, comp AS canonical_id FROM reach ORDER BY doc_id""".stripMargin,
+
+    "embed_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id,
+        |        list_dot_product(qv, cv) /
+        |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        |      FROM q, c WHERE neighbor_id <> query_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY cos DESC, neighbor_id) AS rank
+        |      FROM s)
+        |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     "text_token_count" ->
       """SELECT doc_id,
