@@ -18,24 +18,25 @@ import graft.model.NS
   * SoCC'14 — public algorithm) as iterative DataFrame self-joins with
   * `localCheckpoint` every iteration to cut lineage.
   *
-  * Scale notes: each iteration is one shuffle on the node id; convergence
-  * is O(log d) iterations for diameter d — entity-link clusters are
-  * near-star-shaped (diameter ≤ 4), so 3-6 iterations in practice. The
-  * iteration count is capped and the final assignment is verified by a
-  * fixpoint check, not assumed.
+  * Scale notes: each iteration is two shuffles on the node id (neighbor
+  * min + pointer jump); plain neighbor propagation alone converges in
+  * O(diameter) rounds, which a chain-shaped pair graph (the capped dedup
+  * candidate chains) turns into thousands — the pointer-doubling step
+  * (comp := comp of comp) brings convergence to O(log d). Non-convergence
+  * within `maxIter` THROWS instead of returning a silently-fragmented
+  * assignment.
   */
 object ConnectedComponents {
 
   /** edges(src,dst) → (node, component) where component = min node id
     * (lexicographic) in the node's connected component. */
-  def components(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def components(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    // materialize the symmetric edge set ONCE — the loop touches it twice
-    // per iteration (neighbor propagation + convergence check), and an
-    // expensive upstream plan (e.g. a similarity join producing the pairs)
-    // must not re-execute per iteration
+    // materialize the symmetric edge set ONCE — the loop touches it every
+    // iteration, and an expensive upstream plan (e.g. a similarity join
+    // producing the pairs) must not re-execute per iteration
     val sym = edges.select($"src", $"dst")
       .unionByName(edges.select($"dst".as("src"), $"src".as("dst")))
       .filter($"src" =!= $"dst")
@@ -49,13 +50,20 @@ object ConnectedComponents {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // candidate label per node: min over (own label, neighbours' labels)
+      // 1. candidate label per node: min over (own label, neighbours' labels)
       val neighborLabels = sym
         .join(labels.withColumnRenamed("node", "dst2"), $"dst" === $"dst2")
         .select($"src".as("node"), $"comp")
-      val updated = labels.select($"node", $"comp")
+      val propagated = labels.select($"node", $"comp")
         .unionByName(neighborLabels)
         .groupBy($"node").agg(min($"comp").as("comp"))
+
+      // 2. pointer doubling: comp := min(comp, comp(comp)) — labels chase
+      // their component's own label, halving chain depth every round
+      val parent = propagated.select($"node".as("comp"), $"comp".as("pcomp"))
+      val updated = propagated
+        .join(parent, Seq("comp"), "left")
+        .select($"node", least($"comp", coalesce($"pcomp", $"comp")).as("comp"))
         .localCheckpoint()
 
       val changed = updated.alias("u")
@@ -66,6 +74,9 @@ object ConnectedComponents {
       converged = changed == 0
       iter += 1
     }
+    require(converged,
+      s"connected components did not converge within $maxIter iterations — " +
+        "raising maxIter is safe (O(log diameter) rounds)")
     labels
   }
 

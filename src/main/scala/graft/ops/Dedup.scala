@@ -21,6 +21,59 @@ object Dedup {
 
   import TextAnalysis.tokens
 
+  /** Candidate pairs within buckets, skew-proof at BOTH levels.
+    *
+    * Input: `(bucket, id, pay)`; output: `(id_a, id_b, pay_a, pay_b)`.
+    *
+    * The naive bucket self-join is quadratic in hot buckets; a rank-window
+    * cap bounds the join but `row_number` over `partitionBy(bucket)` still
+    * SORTS the whole hot bucket in one task — at 10^9 boilerplate docs the
+    * sort, not the join, is the straggler. So ranking is two-level:
+    *
+    *  1. rows are salted into `salts` subgroups per bucket
+    *     (`pmod(xxhash64(id), salts)`); within each (bucket, salt) a
+    *     rank-window emits pairs up to `maxBucket` ranks apart — each
+    *     window task sees ~|bucket|/salts rows;
+    *  2. the rank-1 REPRESENTATIVE of every salt subgroup joins a second,
+    *     salts-sized window per bucket, chaining the subgroups together.
+    *
+    * Every row connects to its subgroup's representative and the
+    * representatives connect to each other, so a duplicate GROUP stays one
+    * connected component (see [[nearDuplicateGroups]]) while no single
+    * task ever sorts more than ~|bucket|/salts rows. With `salts = 1` this
+    * degenerates to the plain capped window. */
+  private[ops] def chainedBucketPairs(banded: DataFrame, maxBucket: Int,
+                                      salts: Int): DataFrame = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+
+    val salted = banded.withColumn("salt", pmod(xxhash64($"id"), lit(salts.max(1))))
+    val w1 = Window.partitionBy($"bucket", $"salt").orderBy($"id")
+    val ranked = salted.withColumn("rk", row_number().over(w1))
+
+    def pairsOf(df: DataFrame, rankCol: String): DataFrame = {
+      val l = df.select($"bucket", $"salt", $"id".as("id_a"), $"pay".as("pay_a"),
+        col(rankCol).as("rk_a"))
+      val r = df.select($"bucket".as("bucket_b"), $"salt".as("salt_b"),
+        $"id".as("id_b"), $"pay".as("pay_b"), col(rankCol).as("rk_b"))
+      l.join(r, $"bucket" === $"bucket_b" && $"salt" === $"salt_b" &&
+          $"rk_b" > $"rk_a" && $"rk_b" <= $"rk_a" + maxBucket)
+        .select($"id_a", $"id_b", $"pay_a", $"pay_b")
+    }
+
+    val withinSalt = pairsOf(ranked, "rk")
+    // representatives: one per (bucket, salt); their chain joins subgroups.
+    // the rep frame is `salts`-bounded per bucket, so its window is tiny.
+    val reps = ranked.filter($"rk" === 1)
+      .withColumn("salt", lit(0L))
+      .withColumn("rk2",
+        row_number().over(Window.partitionBy($"bucket").orderBy($"id")))
+    val acrossSalts = pairsOf(reps, "rk2")
+
+    withinSalt.unionByName(acrossSalts).dropDuplicates("id_a", "id_b")
+  }
+
   /** Exact duplicates: md5 digest groups; keeps the canonical (min) id.
     * Emits one row per duplicate group of size >= 2. */
   def exactDuplicateGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -81,23 +134,14 @@ object Dedup {
           b => xxhash64(slice($"sig", b * rowsPerBand + lit(1), lit(rowsPerBand))))))
       .select($"id", $"sh", concat($"pos", lit(":"), $"col").as("bucket"))
 
-    // bucket self-join with per-bucket cap: rank docs within bucket, join
-    // only rank pairs (i<j) with j-i bounded by maxBucket (salting-style
-    // bound on quadratic hot buckets)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy($"bucket").orderBy($"id")
-    val ranked = banded.withColumn("rk", row_number().over(w))
-    val left = ranked.select($"bucket", $"id".as("id_a"), $"sh".as("sh_a"), $"rk".as("rk_a"))
-    val right = ranked.select($"bucket".as("bucket_b"), $"id".as("id_b"),
-      $"sh".as("sh_b"), $"rk".as("rk_b"))
-    val cand = left.join(right,
-        $"bucket" === $"bucket_b" && $"rk_b" > $"rk_a" && $"rk_b" <= $"rk_a" + maxBucket)
-      .select($"id_a", $"id_b", $"sh_a", $"sh_b")
-      .dropDuplicates("id_a", "id_b")
-
-    cand
-      .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")))
+    // bucket self-join with the two-level salted rank cap (see
+    // chainedBucketPairs): quadratic hot buckets bounded in BOTH the join
+    // and the per-task window sort
+    chainedBucketPairs(banded.select($"bucket", $"id", $"sh".as("pay")),
+        maxBucket, salts = 16)
+      .withColumn("inter", size(array_intersect($"pay_a", $"pay_b")))
       .withColumn("jaccard",
-        $"inter" / (size($"sh_a") + size($"sh_b") - $"inter"))
+        $"inter" / (size($"pay_a") + size($"pay_b") - $"inter"))
       .filter($"jaccard" >= threshold)
       .select($"id_a", $"id_b", $"jaccard")
   }
@@ -124,14 +168,9 @@ object Dedup {
       concat(lit(b), lit(":"), shiftright($"sig", b * 16).bitwiseAND(lit(0xFFFFL)))): _*)
     val banded = sigs.select($"id", $"sig", explode(bandCols).as("bucket"))
 
-    val w = org.apache.spark.sql.expressions.Window.partitionBy($"bucket").orderBy($"id")
-    val ranked = banded.withColumn("rk", row_number().over(w))
-    val l = ranked.select($"bucket", $"id".as("id_a"), $"sig".as("sig_a"), $"rk".as("rk_a"))
-    val r = ranked.select($"bucket".as("bucket_b"), $"id".as("id_b"),
-      $"sig".as("sig_b"), $"rk".as("rk_b"))
-    l.join(r, $"bucket" === $"bucket_b" && $"rk_b" > $"rk_a" && $"rk_b" <= $"rk_a" + maxBucket)
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", bit_count($"sig_a".bitwiseXOR($"sig_b")))
+    chainedBucketPairs(banded.select($"bucket", $"id", $"sig".as("pay")),
+        maxBucket, salts = 16)
+      .withColumn("hamming", bit_count($"pay_a".bitwiseXOR($"pay_b")))
       .filter($"hamming" <= maxHamming)
       .select($"id_a", $"id_b", $"hamming")
   }

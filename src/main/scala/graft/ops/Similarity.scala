@@ -239,15 +239,9 @@ object Similarity {
     import spark.implicits._
 
     val banded = sketched(corpus, idCol, vecCol, bits, tables, dims)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy($"bucket")
-      .orderBy(col(idCol))
-    val ranked = banded.withColumn("rk", row_number().over(w))
-    val l = ranked.select($"bucket", col(idCol).as("id_a"), col(vecCol).as("va"), $"rk".as("rk_a"))
-    val r = ranked.select($"bucket".as("bucket_b"), col(idCol).as("id_b"),
-      col(vecCol).as("vb"), $"rk".as("rk_b"))
-    l.join(r, $"bucket" === $"bucket_b" && $"rk_b" > $"rk_a" && $"rk_b" <= $"rk_a" + maxBucket)
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("cos", cosine($"va".cast("array<double>"), $"vb".cast("array<double>")))
+      .select($"bucket", col(idCol).as("id"), col(vecCol).as("pay"))
+    Dedup.chainedBucketPairs(banded, maxBucket, salts = 16)
+      .withColumn("cos", cosine($"pay_a".cast("array<double>"), $"pay_b".cast("array<double>")))
       .filter($"cos" >= threshold)
       .select($"id_a", $"id_b", $"cos")
   }

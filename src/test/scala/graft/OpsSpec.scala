@@ -75,13 +75,17 @@ class OpsSpec extends AnyFunSuite {
         lit("copyright footer navigation subscribe newsletter terms privacy").as("text"))
     val cap = 8
     val pairs = Dedup.simhashNearDuplicates(boiler, "doc_id", "text",
-      maxHamming = 3, maxBucket = cap)
+      maxHamming = 3, maxBucket = cap).persist()
     val cnt = pairs.count()
-    assert(cnt <= n.toLong * cap, s"pair count $cnt exceeds n*maxBucket bound")
-    assert(cnt >= n - 1, s"cap must keep adjacency chains: got $cnt pairs")
-    // chain connectivity: every doc except the last rank appears as id_a
-    val asA = pairs.select("id_a").distinct().count()
-    assert(asA == n - 1, s"expected ${n - 1} chain sources, got $asA")
+    assert(cnt <= n.toLong * (cap + 2), s"pair count $cnt exceeds the salted cap bound")
+    assert(cnt >= n - 1, s"cap must keep groups connected: got $cnt pairs")
+    // the whole duplicate group must stay ONE connected component
+    // (within-salt chains + representative chain)
+    val groups = Dedup.nearDuplicateGroups(pairs)
+    assert(groups.count() == n, "every doc assigned")
+    assert(groups.select("canonical_id").distinct().count() == 1,
+      "salting must not split the duplicate group")
+    pairs.unpersist()
   }
 
   test("language id: stopword heuristic") {
@@ -153,9 +157,13 @@ class OpsSpec extends AnyFunSuite {
       array((0 until 64).map(i => lit(0.1f * ((i % 7) + 1))): _*).as("embedding"))
     val cap = 8
     val bounded = Similarity.nearDuplicatePairsLsh(one, threshold = 0.999, maxBucket = cap)
+      .persist()
     val cnt = bounded.count()
-    assert(cnt <= n.toLong * cap, s"pair count $cnt exceeds n*maxBucket")
-    assert(bounded.select("id_a").distinct().count() == n - 1, "adjacency chain broken")
+    assert(cnt <= n.toLong * (cap + 2), s"pair count $cnt exceeds the salted cap bound")
+    val groups = Dedup.nearDuplicateGroups(bounded)
+    assert(groups.count() == n && groups.select("canonical_id").distinct().count() == 1,
+      "salting must not split the duplicate group")
+    bounded.unpersist()
   }
 
   test("IVF: deterministic cells, probe search finds the planted duplicate") {
