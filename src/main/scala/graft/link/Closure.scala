@@ -42,6 +42,13 @@ object Closure {
       n = m
       depth += 1
     }
+    // a still-growing closure at the depth cap means a cycle or a ladder
+    // deeper than expected — return loudly, never a silently-partial
+    // closure (a partial subClassOf* closure would wrongly EXCLUDE unit
+    // candidates downstream)
+    require(!grown,
+      s"transitive closure still growing after $maxDepth iterations — " +
+        "cyclic hierarchy or maxDepth too small")
     closure
   }
 }
