@@ -311,6 +311,24 @@ object Events {
         lit(null).cast("string").as("objDatatype"), $"docId")
   }
 
+  /** construct_documents_links.sparql: records with NO person link get a
+    * forward `crm:P70_documents` triple to their minted
+    * `actors/person_wp<no>` — the reference concatenates this construct's
+    * output into the final prisoners graph (process.sh "Constructing
+    * documents links"). The `old_uri IS NULL` predicate IS the
+    * `FILTER NOT EXISTS { ?sub crm:P70_documents [] }` guard
+    * (construct_documents_links.sparql:21), so a re-run over state that
+    * already holds the link mints nothing — idempotent by construction. */
+  def documentsLinks(frame: DataFrame): DataFrame = {
+    val spark = frame.sparkSession
+    import spark.implicits._
+    frame.filter($"old_uri".isNull)
+      .select($"subj", lit(NS.CRM + "P70_documents").as("pred"),
+        $"minted_person".as("objValue"), lit(true).as("objIsUri"),
+        lit(null).cast("string").as("objLang"),
+        lit(null).cast("string").as("objDatatype"), $"docId")
+  }
+
   /** E21 backlink inversion: `?p crm:P70_documents ?o` →
     * `?o crm:P70i_is_documented_in ?p` (process.sh:79 sed), guarded
     * against backlinks already present in the graph — the FILTER NOT

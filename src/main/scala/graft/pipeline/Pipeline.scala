@@ -117,6 +117,7 @@ object Pipeline {
           .unionByName(Events.promotions(canonical, frame, Gazetteers.ranks(spark)))
           .unionByName(Events.unitJoinings(canonical, frame))
           .unionByName(Events.relatedPeriods(canonical))
+          .unionByName(Events.documentsLinks(frame))
           .unionByName(Events.invertDocumentsLinks(canonical))
           .unionByName(Events.campCoordinates(Gazetteers.camps(spark)))
       canonical.unionByName(events)

@@ -161,6 +161,29 @@ class LinkersSpec extends AnyFunSuite {
       "info fallback must not fire when a capture literal exists")
   }
 
+  test("documents-links minting: unlinked records get wp-minted P70 (guarded)") {
+    val fixture = Seq(
+      // p1 already linked -> no minting
+      (NS.DATA + "prisoner_1", NS.RDF_TYPE, NS.SCHEMA_WARSA + "PrisonerRecord", true, null: String, null: String, "prisoner_1"),
+      (NS.DATA + "prisoner_1", NS.CRM + "P70_documents", NS.ACTORS + "person_x", true, null: String, null: String, "prisoner_1"),
+      // p2 unlinked -> minted person_wp2
+      (NS.DATA + "prisoner_2", NS.RDF_TYPE, NS.SCHEMA_WARSA + "PrisonerRecord", true, null: String, null: String, "prisoner_2"),
+      (NS.DATA + "prisoner_2", NS.SCHEMA_WARSA + "family_name", "Sukunimi", false, null: String, null: String, "prisoner_2"),
+      // duplicate-suffixed id keeps the suffix in the wp number
+      (NS.DATA + "prisoner_3_duplicate", NS.RDF_TYPE, NS.SCHEMA_WARSA + "PrisonerRecord", true, null: String, null: String, "prisoner_3_duplicate"),
+    ).toDF("subj", "pred", "objValue", "objIsUri", "objLang", "objDatatype", "docId")
+    val frame = Events.recordFrame(fixture)
+    val links = Events.documentsLinks(frame)
+      .select("subj", "objValue").as[(String, String)].collect().toMap
+    assert(!links.contains(NS.DATA + "prisoner_1"), "linked record must not re-mint")
+    assert(links(NS.DATA + "prisoner_2") == NS.ACTORS + "person_wp2")
+    assert(links(NS.DATA + "prisoner_3_duplicate") == NS.ACTORS + "person_wp3_duplicate")
+    // idempotence: re-running over state holding the minted links adds none
+    val again = Events.documentsLinks(
+      Events.recordFrame(fixture.unionByName(Events.documentsLinks(frame))))
+    assert(again.count() == 0)
+  }
+
   test("documents-links inversion is idempotent over pre-populated state") {
     val fixture = Seq(
       (NS.DATA + "p1", NS.CRM + "P70_documents", NS.ACTORS + "person_1", true, null: String, null: String, "p1"),
