@@ -195,7 +195,11 @@ object RecordLinkage {
     * (crm:P70_documents shape like construct_people.sparql). */
   def linkPersons(triples: DataFrame, ranksGaz: DataFrame, personsGaz: DataFrame,
                   threshold: Double = 0.8): DataFrame = {
-    val feats = prisonerFeatures(triples, ranksGaz)
+    // the feature plan (a dozen aggregating self-joins over the triples
+    // table) feeds BOTH the blocking branch and the scoring branch — left
+    // lazy it executes twice inside the one linking action; checkpoint it
+    // once (lazy: materializes on first use)
+    val feats = prisonerFeatures(triples, ranksGaz).localCheckpoint(false)
     val links = scorePairs(candidatePairs(feats, personsGaz), feats, personsGaz, threshold)
     val spark = triples.sparkSession
     import spark.implicits._
