@@ -45,7 +45,7 @@ object Pipeline {
 
     // -- 1. extraction ----------------------------------------------------
     val extracted = store.stage("extract",
-      metrics = Seq("triples" -> count(lit(1)))) {
+      metrics = Seq("triples" -> count(lit(1))), sortCols = Seq("pred")) {
       Extraction.triples(docs).toDF()
     }
     store.stage("extract_errors",
@@ -56,7 +56,7 @@ object Pipeline {
     // -- 2. privacy pruning (process.sh:25-28 runs before linking) --------
     val endpointNames = spark.emptyDataFrame
       .sparkSession.createDataFrame(Seq.empty[(String, Long)]).toDF("fam", "count")
-    val pruned = store.stage("pruned") {
+    val pruned = store.stage("pruned", sortCols = Seq("pred")) {
       Privacy.prunePersons(extracted, endpointNames, today)
     }
 
@@ -83,7 +83,7 @@ object Pipeline {
     }
 
     // -- 5. sources rewrite (linker.py:453-509, in-place) -----------------
-    val withSources = store.stage("sourced") {
+    val withSources = store.stage("sourced", sortCols = Seq("pred")) {
       val all = pruned.unionByName(linked).unionByName(personLinks)
       val (added, removed) = Linkers.linkSources(all, Gazetteers.sourcesRegister(spark))
       all.join(removed,
@@ -94,7 +94,7 @@ object Pipeline {
     }
 
     // -- 6. canonicalization (connected components over person links) -----
-    val canonical = store.stage("canonical") {
+    val canonical = store.stage("canonical", sortCols = Seq("pred")) {
       val edges = ConnectedComponents.edgesFromLinks(
         withSources.filter($"pred" === (NS.CRM + "P70_documents")))
       ConnectedComponents.canonicalizeTriples(withSources, edges)

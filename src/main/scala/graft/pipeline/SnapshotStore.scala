@@ -75,17 +75,25 @@ final class SnapshotStore(spark: SparkSession, workDir: String) {
     * lineage come from the written parquet footers only: metadata reads,
     * never a second pass over the data. */
   def write(stage: String, df: DataFrame, partitionCols: Seq[String] = Nil,
-            metrics: Seq[(String, Column)] = Nil): Int = {
+            metrics: Seq[(String, Column)] = Nil,
+            sortCols: Seq[String] = Nil): Int = {
     val v = latestVersion(stage).map(_ + 1).getOrElse(0)
     val dir = versionDir(stage, v)
 
-    val (toWrite, obs) =
+    val (observed, obs) =
       if (metrics.isEmpty) (df, None)
       else {
         val o = Observation(s"graft-$stage-v$v")
         val aggs = metrics.map { case (n, c) => c.as(n) }
         (df.observe(o, aggs.head, aggs.tail: _*), Some(o))
       }
+    // intra-partition sort (no shuffle): downstream consumers of triple
+    // snapshots filter on `pred` constantly (every linker, privacy, the
+    // event constructs) — clustering rows by pred gives parquet row-group
+    // min/max pruning on those scans with zero consumer changes
+    val toWrite =
+      if (sortCols.isEmpty) observed
+      else observed.sortWithinPartitions(sortCols.map(col): _*)
     val writer = toWrite.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(dir.toString)
@@ -133,12 +141,13 @@ final class SnapshotStore(spark: SparkSession, workDir: String) {
     * materialized — deterministic — bytes). Metric aggregates ride the
     * write job via observe() — a metric'd stage costs exactly one pass. */
   def stage(name: String, partitionCols: Seq[String] = Nil,
-            metrics: Seq[(String, Column)] = Nil)
+            metrics: Seq[(String, Column)] = Nil,
+            sortCols: Seq[String] = Nil)
            (compute: => DataFrame): DataFrame = {
     if (!exists(name)) {
       val t0 = System.nanoTime()
       val df = compute
-      write(name, df, partitionCols, metrics)
+      write(name, df, partitionCols, metrics, sortCols)
       println(f"[stage-time] $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     read(name)
