@@ -278,6 +278,14 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // ---- text analysis: quality filter verdicts ----------------------------
+    "text_quality_filter" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "documents")
+        .select($"doc_id", TextAnalysis.qualityVerdict($"text").as("verdict"))
+        .orderBy($"doc_id")
+    }),
+
     // ---- text analysis: language id ---------------------------------------
     "text_lang_id" -> ((s, d) => {
       import s.implicits._
@@ -745,6 +753,26 @@ object SparkEntry {
         |  CAST(doc_id % 9 AS INT) * 64 + 256 AS height,
         |  CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS sample_rate
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality_filter" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens,
+        |    length(text) AS n_chars,
+        |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x IN ('the','a','of','to','and','in','is','for','on','with',
+        |                 'ja','on','ei','se','että','oli','hän','mutta','joka','myös'))) AS stops
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN n_tokens < 5 THEN 'too_short'
+        |       WHEN n_tokens > 100000 THEN 'too_long'
+        |       WHEN n_punct * 1000 > n_chars * 150 THEN 'too_much_punctuation'
+        |       WHEN n_digits * 1000 > n_chars * 300 THEN 'too_many_digits'
+        |       WHEN stops < 1 THEN 'no_stopwords'
+        |       ELSE 'keep' END AS verdict
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "text_lang_id" ->
       """WITH sc AS (

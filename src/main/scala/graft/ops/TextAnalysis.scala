@@ -38,6 +38,30 @@ object TextAnalysis {
     "n_upper" -> (length(text) - length(regexp_replace(text, "[A-ZÅÄÖ]", ""))),
   )
 
+  /** Gopher-style quality filter verdict: keep/drop with the FIRST failed
+    * rule as the reason (ordered rules, like the published repetition/
+    * quality cascades — Rae et al. 2021 §A1.1, public). All comparisons
+    * are exact-integer (counts, not float ratios: `punct * 10 > chars`
+    * instead of `punct/chars > 0.1`) so the verdict is engine-portable
+    * and hash-stable against a SQL oracle. */
+  def qualityVerdict(text: Column,
+                     minTokens: Int = 5, maxTokens: Int = 100000,
+                     maxPunctPerMille: Int = 150,
+                     maxDigitPerMille: Int = 300,
+                     minStopwordHits: Int = 1): Column = {
+    val nTokens = tokenCount(text)
+    val nChars = length(text)
+    val nPunct = nChars - length(regexp_replace(text, "[.,;:!?]", ""))
+    val nDigits = nChars - length(regexp_replace(text, "[0-9]", ""))
+    val stops = stopwordHits(text, enStopwords ++ fiStopwords)
+    when(nTokens < minTokens, "too_short")
+      .when(nTokens > maxTokens, "too_long")
+      .when(nPunct * 1000 > nChars * maxPunctPerMille, "too_much_punctuation")
+      .when(nDigits * 1000 > nChars * maxDigitPerMille, "too_many_digits")
+      .when(stops < minStopwordHits, "no_stopwords")
+      .otherwise("keep")
+  }
+
   val enStopwords = Seq("the", "a", "of", "to", "and", "in", "is", "for", "on", "with")
   val fiStopwords = Seq("ja", "on", "ei", "se", "että", "oli", "hän", "mutta", "joka", "myös")
 

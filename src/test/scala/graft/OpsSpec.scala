@@ -102,6 +102,24 @@ class OpsSpec extends AnyFunSuite {
     assert(row.getInt(1) > 9)
   }
 
+  test("quality filter: ordered rules, first failure wins") {
+    val cases = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),          // keep
+      (2L, "too short"),                                            // too_short
+      (3L, "a b c d e ,,,,,,,,,,,,,,,,,,,,,,,,,,,,,,,,,,,,,"),     // punct
+      (4L, "the 1234567890 1234567890 1234567890 99 11 22"),        // digits
+      (5L, "lorem ipsum dolor sit amet consectetur adipiscing xyz"),// no_stopwords
+    ).toDF("doc_id", "text")
+    val got = cases.select($"doc_id",
+        TextAnalysis.qualityVerdict($"text").as("v"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "keep")
+    assert(got(2L) == "too_short")
+    assert(got(3L) == "too_much_punctuation")
+    assert(got(4L) == "too_many_digits")
+    assert(got(5L) == "no_stopwords")
+  }
+
   test("fingerprints: stable, near-dups share grams") {
     val fp = TextAnalysis.fingerprints(docs, "text")
       .select($"doc_id", $"fingerprint").collect()
