@@ -42,4 +42,45 @@ object StreamingIngest {
     q.awaitTermination()
     batches
   }
+
+  /** Dedup-on-ingest: drain new docs, dropping exact duplicates by text
+    * digest with WATERMARKED streaming state — the streaming face of
+    * `Dedup.dropExactDuplicates` for a 100 TB firehose where batch dedup
+    * against the full corpus per increment is impossible. State holds one
+    * digest per distinct doc inside the `watermark` horizon and is evicted
+    * beyond it (`dropDuplicatesWithinWatermark`), so state size is bounded
+    * by arrival rate × horizon, not corpus size; duplicates farther apart
+    * than the horizon are left to the batch `dedup_exact` sweep — the
+    * standard streaming/batch split for dedup. Docs need an event-time
+    * column (`ingest_ts`); exactly-once per input file via the stream
+    * checkpoint, as above. */
+  def drainDeduped(spark: SparkSession, docsDir: String, outDir: String,
+                   checkpointDir: String, watermark: String = "1 hour"): Long = {
+    import org.apache.spark.sql.functions._
+    val docs = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(
+        graft.model.Doc.schema.fields :+
+          org.apache.spark.sql.types.StructField("ingest_ts",
+            org.apache.spark.sql.types.TimestampType)))
+      .parquet(docsDir)
+
+    val deduped = docs
+      .withColumn("digest", md5(to_json(col("spans"))))
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark("digest")
+
+    var batches = 0L
+    val q = deduped.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.drop("digest", "ingest_ts")
+          .write.mode("append").parquet(outDir)
+        batches += 1
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    batches
+  }
 }
