@@ -51,27 +51,38 @@ object ConnectedComponents {
     var converged = false
     while (iter < maxIter && !converged) {
       // 1. candidate label per node: min over (own label, neighbours' labels)
+      // — the node's PREVIOUS label rides along (null on neighbour rows, so
+      // min(oldc) recovers it) and convergence is checked inside the same
+      // job: exactly ONE Spark action per round, no separate compare pass
+      val compType = labels.schema("comp").dataType.sql
       val neighborLabels = sym
         .join(labels.withColumnRenamed("node", "dst2"), $"dst" === $"dst2")
-        .select($"src".as("node"), $"comp")
-      val propagated = labels.select($"node", $"comp")
+        .select($"src".as("node"), $"comp", lit(null).cast(compType).as("oldc"))
+      val propagated = labels.select($"node", $"comp", $"comp".as("oldc"))
         .unionByName(neighborLabels)
-        .groupBy($"node").agg(min($"comp").as("comp"))
+        .groupBy($"node").agg(min($"comp").as("comp"), min($"oldc").as("oldc"))
 
       // 2. pointer doubling: comp := min(comp, comp(comp)) — labels chase
       // their component's own label, halving chain depth every round
       val parent = propagated.select($"node".as("comp"), $"comp".as("pcomp"))
+      // change marker evaluated by the checkpoint job itself (over-count
+      // from task retries is harmless: only zero-vs-nonzero is read); the
+      // marker column is dropped after materialization, comp keeps its type
+      val changedAcc = spark.sparkContext.longAccumulator(s"cc_changed_$iter")
+      val trackChange = udf { (changed: Boolean) =>
+        if (changed) changedAcc.add(1L)
+        changed
+      }
       val updated = propagated
         .join(parent, Seq("comp"), "left")
-        .select($"node", least($"comp", coalesce($"pcomp", $"comp")).as("comp"))
+        .select($"node", least($"comp", coalesce($"pcomp", $"comp")).as("comp"),
+          $"oldc")
+        .select($"node", $"comp",
+          trackChange(!($"comp" <=> $"oldc")).as("_chg"))
         .localCheckpoint()
 
-      val changed = updated.alias("u")
-        .join(labels.alias("l"), Seq("node"))
-        .filter(col("u.comp") =!= col("l.comp"))
-        .limit(1).count()
-      labels = updated
-      converged = changed == 0
+      labels = updated.drop("_chg")
+      converged = changedAcc.value == 0L
       iter += 1
     }
     require(converged,

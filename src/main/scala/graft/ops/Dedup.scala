@@ -21,57 +21,83 @@ object Dedup {
 
   import TextAnalysis.tokens
 
-  /** Candidate pairs within buckets, skew-proof at BOTH levels.
+  /** Candidate pairs within buckets, skew-proof with a TRUE comparison
+    * bound.
     *
-    * Input: `(bucket, id, pay)`; output: `(id_a, id_b, pay_a, pay_b)`.
+    * Input: `(bucket, id)` — id-only: at scale the weight of a candidate
+    * join's shuffle is its payload, so signatures/vectors are NOT carried
+    * here; callers re-join them by id for verification. Output:
+    * `(id_a, id_b)`, distinct, `id_a` ranked before `id_b`.
     *
-    * The naive bucket self-join is quadratic in hot buckets; a rank-window
-    * cap bounds the join but `row_number` over `partitionBy(bucket)` still
-    * SORTS the whole hot bucket in one task — at 10^9 boilerplate docs the
-    * sort, not the join, is the straggler. So ranking is two-level:
+    * The naive bucket self-join is quadratic in hot buckets. Two bounds
+    * are enforced:
     *
-    *  1. rows are salted into `salts` subgroups per bucket
-    *     (`pmod(xxhash64(id), salts)`); within each (bucket, salt) a
-    *     rank-window emits pairs up to `maxBucket` ranks apart — each
-    *     window task sees ~|bucket|/salts rows;
-    *  2. the rank-1 REPRESENTATIVE of every salt subgroup joins a second,
-    *     salts-sized window per bucket, chaining the subgroups together.
+    *  1. the per-task SORT bound: rows are salted into `salts` subgroups
+    *     per bucket (`pmod(xxhash64(id), salts)`) and ranked within
+    *     (bucket, salt) — no window task sorts more than ~|bucket|/salts
+    *     rows;
+    *  2. the COMPARISON bound: pairing is an offset-exploded EQUI-join —
+    *     the left side explodes offsets d ∈ 1..maxBucket and joins on
+    *     (bucket, salt, rk + d), so each exploded row hash-matches at most
+    *     ONE right row: O(n·maxBucket) comparisons total. (The earlier
+    *     range-condition form `rk_a < rk_b <= rk_a + maxBucket` bounded
+    *     only the OUTPUT — Spark executes a range condition on an equi-key
+    *     as a post-match filter, so a hot bucket of n docs still paid
+    *     O((n/salts)²) comparisons per subgroup and never finished at
+    *     boilerplate scale.)
     *
-    * Every row connects to its subgroup's representative and the
-    * representatives connect to each other, so a duplicate GROUP stays one
-    * connected component (see [[nearDuplicateGroups]]) while no single
-    * task ever sorts more than ~|bucket|/salts rows. With `salts = 1` this
-    * degenerates to the plain capped window. */
+    * Connectivity: besides the offset chain, every row pairs with its
+    * (bucket, salt) rank-1 REPRESENTATIVE (a star — one equi-join against
+    * a salts-bounded rep table, O(n) pairs), and representatives chain
+    * across salts per bucket. An all-duplicate bucket therefore stays one
+    * connected component regardless of size (see [[nearDuplicateGroups]]).
+    *
+    * RECALL BOUND (honest): the cap trades recall in MIXED hot buckets.
+    * Two true near-duplicates in the same bucket but different salt
+    * subgroups pair directly only through their representatives; if the
+    * representatives are NOT mutual duplicates (a hot band whose members
+    * are not all alike), the chain can break and the pair is missed.
+    * Uncapped-recall claims (e.g. simhash's pigeonhole bound) hold only
+    * for buckets smaller than maxBucket·salts or for all-duplicate hot
+    * buckets; corpora where hot buckets mix distinct near-dup clusters
+    * should raise `maxBucket`/`salts` or pre-split the bucket key. */
   private[ops] def chainedBucketPairs(banded: DataFrame, maxBucket: Int,
                                       salts: Int): DataFrame = {
     val spark = banded.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
 
-    val salted = banded.withColumn("salt", pmod(xxhash64($"id"), lit(salts.max(1))))
-    val w1 = Window.partitionBy($"bucket", $"salt").orderBy($"id")
-    val ranked = salted.withColumn("rk", row_number().over(w1))
+    val salted = banded.select($"bucket", $"id")
+      .withColumn("salt", pmod(xxhash64($"id"), lit(salts.max(1))))
+    val ranked = salted.withColumn("rk",
+      row_number().over(Window.partitionBy($"bucket", $"salt").orderBy($"id")))
 
-    def pairsOf(df: DataFrame, rankCol: String): DataFrame = {
-      val l = df.select($"bucket", $"salt", $"id".as("id_a"), $"pay".as("pay_a"),
-        col(rankCol).as("rk_a"))
-      val r = df.select($"bucket".as("bucket_b"), $"salt".as("salt_b"),
-        $"id".as("id_b"), $"pay".as("pay_b"), col(rankCol).as("rk_b"))
-      l.join(r, $"bucket" === $"bucket_b" && $"salt" === $"salt_b" &&
-          $"rk_b" > $"rk_a" && $"rk_b" <= $"rk_a" + maxBucket)
-        .select($"id_a", $"id_b", $"pay_a", $"pay_b")
+    // offset-exploded adjacency: d ∈ 1..maxBucket, equi-join on rk_a + d =
+    // rk_b — each exploded row meets at most one partner (true O(n·d) work)
+    def offsetPairs(df: DataFrame): DataFrame = {
+      val l = df.select($"bucket", $"salt", $"id".as("id_a"), $"rk",
+          explode(sequence(lit(1), lit(maxBucket.max(1)))).as("d"))
+        .select($"bucket", $"salt", $"id_a", ($"rk" + $"d").as("rk"))
+      val r = df.select($"bucket", $"salt", $"id".as("id_b"), $"rk")
+      l.join(r, Seq("bucket", "salt", "rk")).select($"id_a", $"id_b")
     }
 
-    val withinSalt = pairsOf(ranked, "rk")
-    // representatives: one per (bucket, salt); their chain joins subgroups.
-    // the rep frame is `salts`-bounded per bucket, so its window is tiny.
+    val withinSalt = offsetPairs(ranked)
+    // star: every row pairs directly with its subgroup's representative,
+    // so far-apart ranks in a subgroup still get one DIRECT comparison
     val reps = ranked.filter($"rk" === 1)
-      .withColumn("salt", lit(0L))
-      .withColumn("rk2",
+    val star = ranked.filter($"rk" > 1).select($"bucket", $"salt", $"id".as("id_b"))
+      .join(reps.select($"bucket", $"salt", $"id".as("id_a")), Seq("bucket", "salt"))
+      .select($"id_a", $"id_b")
+    // representatives chain across salts: ≤ `salts` rows per bucket, so the
+    // per-bucket window is tiny and maxBucket ≥ salts makes them a clique
+    val repsRanked = reps.select($"bucket", lit(0L).as("salt"), $"id")
+      .withColumn("rk",
         row_number().over(Window.partitionBy($"bucket").orderBy($"id")))
-    val acrossSalts = pairsOf(reps, "rk2")
+    val acrossSalts = offsetPairs(repsRanked)
 
-    withinSalt.unionByName(acrossSalts).dropDuplicates("id_a", "id_b")
+    withinSalt.unionByName(star).unionByName(acrossSalts)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Exact duplicates: md5 digest groups; keeps the canonical (min) id.
@@ -124,39 +150,45 @@ object Dedup {
     import spark.implicits._
     val rowsPerBand = numHashes / bands
 
-    val sigs = docs.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
-      .withColumn("hs", transform(col("sh"), s => xxhash64(s)))
-      .withColumn("sig", minhashSignatureFromHashes(col("hs"), numHashes))
-      .drop("hs")
+    // shingle sets computed in a narrow pass; the banding path and the two
+    // verification joins each re-derive them from the scan rather than
+    // shuffling the shingle arrays through the candidate join — at scale
+    // re-reading the (columnar, pruned) text column is cheaper than paying
+    // the payload through every exchange of the pairing
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
 
-    val banded = sigs.select($"id", $"sh",
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice($"sig", b * rowsPerBand + lit(1), lit(rowsPerBand))))))
-      .select($"id", $"sh", concat($"pos", lit(":"), $"col").as("bucket"))
+    val banded = sh
+      .withColumn("sig", minhashSignatureFromHashes(
+        transform($"sh", s => xxhash64(s)), numHashes))
+      .select($"id", posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice($"sig", b * rowsPerBand + lit(1), lit(rowsPerBand))))))
+      .select($"id", concat($"pos", lit(":"), $"col").as("bucket"))
 
-    // bucket self-join with the two-level salted rank cap (see
-    // chainedBucketPairs): quadratic hot buckets bounded in BOTH the join
-    // and the per-task window sort
-    chainedBucketPairs(banded.select($"bucket", $"id", $"sh".as("pay")),
-        maxBucket, salts = 16)
-      .withColumn("inter", size(array_intersect($"pay_a", $"pay_b")))
+    // id-only candidate pairing (offset-exploded equi-join, salted ranks);
+    // shingles join back by id for exact Jaccard verification
+    chainedBucketPairs(banded.select($"bucket", $"id"), maxBucket, salts = 16)
+      .join(sh.select($"id".as("id_a"), $"sh".as("sh_a")), Seq("id_a"))
+      .join(sh.select($"id".as("id_b"), $"sh".as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")))
       .withColumn("jaccard",
-        $"inter" / (size($"pay_a") + size($"pay_b") - $"inter"))
+        $"inter" / (size($"sh_a") + size($"sh_b") - $"inter"))
       .filter($"jaccard" >= threshold)
       .select($"id_a", $"id_b", $"jaccard")
   }
 
   /** SimHash near-duplicates: 64-bit simhash, candidates = equal 16-bit
-    * band (pigeonhole guarantees recall for Hamming distance <= 3),
-    * verified with bit_count(xor) <= maxHamming.
+    * band (4 bands, so for buckets BELOW the hot-bucket cap the pigeonhole
+    * bound gives complete recall at Hamming distance <= 3), verified with
+    * bit_count(xor) <= maxHamming.
     *
     * `maxBucket` bounds hot buckets the same way the MinHash path does —
     * a boilerplate-heavy corpus (identical headers/footers, the exact case
     * simhash exists for) collapses whole partitions into 4 buckets, and an
-    * uncapped self-join there is quadratic in corpus size. Docs within a
-    * bucket are ranked and only pairs within `maxBucket` ranks join, so a
-    * bucket of n docs yields O(n·maxBucket) pairs instead of O(n²) while
-    * rank-adjacency chains still connect every duplicate to its group. */
+    * uncapped self-join there is quadratic in corpus size. Inside a capped
+    * hot bucket recall is the chained-candidate bound documented on
+    * [[chainedBucketPairs]], NOT the pigeonhole guarantee: an
+    * all-duplicate hot bucket stays fully connected, a mixed hot bucket
+    * can miss cross-subgroup pairs. */
   def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                             maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
     val spark = docs.sparkSession
@@ -166,11 +198,12 @@ object Dedup {
 
     val bandCols = array((0 until 4).map(b =>
       concat(lit(b), lit(":"), shiftright($"sig", b * 16).bitwiseAND(lit(0xFFFFL)))): _*)
-    val banded = sigs.select($"id", $"sig", explode(bandCols).as("bucket"))
+    val banded = sigs.select($"id", explode(bandCols).as("bucket"))
 
-    chainedBucketPairs(banded.select($"bucket", $"id", $"sig".as("pay")),
-        maxBucket, salts = 16)
-      .withColumn("hamming", bit_count($"pay_a".bitwiseXOR($"pay_b")))
+    chainedBucketPairs(banded.select($"bucket", $"id"), maxBucket, salts = 16)
+      .join(sigs.select($"id".as("id_a"), $"sig".as("sig_a")), Seq("id_a"))
+      .join(sigs.select($"id".as("id_b"), $"sig".as("sig_b")), Seq("id_b"))
+      .withColumn("hamming", bit_count($"sig_a".bitwiseXOR($"sig_b")))
       .filter($"hamming" <= maxHamming)
       .select($"id_a", $"id_b", $"hamming")
   }

@@ -57,26 +57,32 @@ object Similarity {
     * faster shape here; the planes ride the closure, no broadcast needed. */
   private def sketchAllUdf(bits: Int, tables: Int, dims: Int) = {
     val planes = planeArrays(bits, tables, dims)
-    udf { (v: Seq[Float]) =>
-      val vec = v.toArray
-      val n = math.min(dims, vec.length)
-      val out = new Array[Long](tables)
-      var t = 0
-      while (t < tables) {
-        var sketch = 0L
-        var b = 0
-        while (b < bits) {
-          val plane = planes(t)(b)
-          var acc = 0.0
-          var d = 0
-          while (d < n) { acc += vec(d) * plane(d); d += 1 }
-          sketch = sketch * 2 + (if (acc > 0) 1L else 0L)
-          b += 1
+    // typed Seq[Double]: Spark upcasts array<float> input losslessly, so
+    // the dot products run in double like the exact-cosine path (a float
+    // downcast can flip signs for near-orthogonal vectors)
+    udf { (v: Seq[Double]) =>
+      if (v == null) null
+      else {
+        val vec = v.toArray
+        val n = math.min(dims, vec.length)
+        val out = new Array[Long](tables)
+        var t = 0
+        while (t < tables) {
+          var sketch = 0L
+          var b = 0
+          while (b < bits) {
+            val plane = planes(t)(b)
+            var acc = 0.0
+            var d = 0
+            while (d < n) { acc += vec(d) * plane(d); d += 1 }
+            sketch = sketch * 2 + (if (acc > 0) 1L else 0L)
+            b += 1
+          }
+          out(t) = sketch
+          t += 1
         }
-        out(t) = sketch
-        t += 1
+        out
       }
-      out
     }
   }
 
@@ -89,10 +95,30 @@ object Similarity {
   }
 
   /** Sign sketch for one LSH table, as a Column (kept for tests/ad-hoc
-    * use; the batch paths use [[sketchAllUdf]]). */
+    * use; the batch paths use [[sketchAllUdf]]). Computes ONLY this
+    * table's planes — a per-table loop over signSketch is O(tables), not
+    * O(tables²). */
   def signSketch(vec: Column, table: Int, bits: Int, dims: Int): Column = {
-    val sk = sketchAllUdf(bits, table + 1, dims)
-    element_at(sk(vec), table + 1)
+    val planes = planeArrays(bits, table + 1, dims)(table)
+    val one = udf { (v: Seq[Double]) =>
+      if (v == null) null.asInstanceOf[java.lang.Long]
+      else {
+        val vec = v.toArray
+        val n = math.min(dims, vec.length)
+        var sketch = 0L
+        var b = 0
+        while (b < bits) {
+          val plane = planes(b)
+          var acc = 0.0
+          var d = 0
+          while (d < n) { acc += vec(d) * plane(d); d += 1 }
+          sketch = sketch * 2 + (if (acc > 0) 1L else 0L)
+          b += 1
+        }
+        java.lang.Long.valueOf(sketch)
+      }
+    }
+    one(vec)
   }
 
   /** LSH-bucketed approximate cosine top-k: candidates must share at least
@@ -129,8 +155,10 @@ object Similarity {
     * (k × dims doubles — broadcast-sized by construction); assignment is
     * one primitive-loop UDF pass per round. Returns (centroids, corpus
     * with a `cell` column). At 10^12 rows the index build is `iters`
-    * narrow passes + k-sized aggregates; search shuffles nothing on the
-    * corpus — probed cells are a pushed-down IN filter. */
+    * narrow passes + k-sized aggregates. The `cell` column here is
+    * computed at query time — persist it with [[writeIvfIndex]] (parquet
+    * `partitionBy("cell")`) so the probe-time cell restriction becomes
+    * TRUE partition pruning instead of a full scan. */
   def ivfIndex(corpus: DataFrame, k: Int = 64, iters: Int = 5,
                idCol: String = "vec_id", vecCol: String = "embedding")
       : (Array[Array[Double]], DataFrame) = {
@@ -186,10 +214,24 @@ object Similarity {
     (centroids, indexed)
   }
 
-  /** IVF-probed cosine top-k: queries probe their `nprobe` nearest cells;
-    * candidates are corpus rows in probed cells only — the scan prunes on
-    * a pushed-down `cell IN (...)` set per query batch instead of touching
-    * the whole corpus. Exact cosine + window top-k on the survivors. */
+  /** Write the IVF-indexed corpus as parquet partitioned by `cell` and
+    * read it back: the returned frame's `cell` is a PHYSICAL partition
+    * column, so [[cosineTopKIvf]]'s probe filter shows up in the plan as
+    * `PartitionFilters: cell IN (...)` and unprobed cells are never read.
+    * This is the write a snapshot store would do once per index build;
+    * the ad-hoc in-memory `ivfIndex` frame works too but scans the whole
+    * corpus per probe batch. */
+  def writeIvfIndex(indexed: DataFrame, path: String): DataFrame = {
+    indexed.write.mode("overwrite").partitionBy("cell").parquet(path)
+    indexed.sparkSession.read.parquet(path)
+  }
+
+  /** IVF-probed cosine top-k: queries probe their `nprobe` nearest cells.
+    * The probed-cell set is collected driver-side (queries are
+    * broadcast-small by contract; the set is ≤ |queries|·nprobe ints) and
+    * applied as a LITERAL `cell IN (...)` filter, so over a
+    * [[writeIvfIndex]]-persisted corpus it is partition pruning — unprobed
+    * cells are not even read. Exact cosine + window top-k on survivors. */
   def cosineTopKIvf(centroids: Array[Array[Double]], indexed: DataFrame,
                     queries: DataFrame, k: Int, nprobe: Int = 4,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -211,8 +253,10 @@ object Similarity {
     val q = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         explode(probeUdf(col(vecCol).cast("array<double>"))).as("cell")))
+    val probedCells = q.select($"cell").distinct().as[Int].collect().sorted
     val cand = indexed
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), $"cell")
+      .filter($"cell".isin(probedCells.map(Int.box): _*))
       .join(q, Seq("cell"))
       .filter($"neighbor_id" =!= $"query_id")
       .dropDuplicates("query_id", "neighbor_id")
@@ -225,12 +269,14 @@ object Similarity {
   }
 
   /** Corpus×corpus ANN self-join — the shape 100 TB embedding dedup needs
-    * (no broadcast side): sketch every row into `tables` buckets, pair
-    * within buckets under a rank-window cap (the same hot-bucket bound the
-    * text dedup paths use: O(n·maxBucket) pairs per bucket, adjacency
-    * chains keep duplicate groups connected), verify with exact cosine at
-    * `threshold`. Both sides shuffle once on the bucket key; skew is
-    * bounded by the cap, not by luck. */
+    * (no broadcast side): sketch every row ONCE into `tables` buckets
+    * (one id+bucket frame feeds the pairing — the sketch is not
+    * re-evaluated per join side), pair within buckets under the
+    * offset-exploded salted cap (the same true O(n·maxBucket) comparison
+    * bound the text dedup paths use, [[Dedup.chainedBucketPairs]]), then
+    * join the VECTORS back by id for exact cosine verification at
+    * `threshold` — embeddings never ride the salted windows or the pair
+    * join, so the candidate exchanges carry (bucket, id, rank) only. */
   def nearDuplicatePairsLsh(corpus: DataFrame, threshold: Double,
                             idCol: String = "vec_id", vecCol: String = "embedding",
                             bits: Int = 12, tables: Int = 4, dims: Int = 64,
@@ -238,10 +284,15 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
 
-    val banded = sketched(corpus, idCol, vecCol, bits, tables, dims)
-      .select($"bucket", col(idCol).as("id"), col(vecCol).as("pay"))
-    Dedup.chainedBucketPairs(banded, maxBucket, salts = 16)
-      .withColumn("cos", cosine($"pay_a".cast("array<double>"), $"pay_b".cast("array<double>")))
+    val sk = sketchAllUdf(bits, tables, dims)
+    val banded = corpus.select(col(idCol).as("id"), posexplode(sk(col(vecCol))))
+      .select($"id", concat($"pos", lit(":"), $"col").as("bucket"))
+    val vecs = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    Dedup.chainedBucketPairs(banded.select($"bucket", $"id"), maxBucket, salts = 16)
+      .join(vecs.select($"id".as("id_a"), $"v".as("v_a")), Seq("id_a"))
+      .join(vecs.select($"id".as("id_b"), $"v".as("v_b")), Seq("id_b"))
+      .withColumn("cos", cosine($"v_a", $"v_b"))
       .filter($"cos" >= threshold)
       .select($"id_a", $"id_b", $"cos")
   }

@@ -66,10 +66,12 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("simhash: adversarial boilerplate corpus stays bounded by the bucket cap") {
-    // 10k identical docs -> ONE simhash value -> 4 hot buckets. Uncapped,
-    // that is ~2·10^8 candidate pairs; the rank-window cap bounds it at
-    // n·maxBucket while rank adjacency still chains the whole dup group.
-    val n = 10000
+    // 100k identical docs -> ONE simhash value -> 4 hot buckets. Uncapped,
+    // that is ~2·10^10 candidate COMPARISONS (the r2 range-join form never
+    // finished here even with a capped output); the offset-exploded
+    // equi-join bounds comparisons at n·maxBucket while offset adjacency +
+    // the representative star still chain the whole dup group.
+    val n = 100000
     val boiler = spark.range(n.toLong)
       .select($"id".as("doc_id"),
         lit("copyright footer navigation subscribe newsletter terms privacy").as("text"))
@@ -86,6 +88,82 @@ class OpsSpec extends AnyFunSuite {
     assert(groups.select("canonical_id").distinct().count() == 1,
       "salting must not split the duplicate group")
     pairs.unpersist()
+  }
+
+  /** Fixed fixture with PLANTED duplicate groups whose expected pair sets
+    * are derivable by hand regardless of hash values: identical texts have
+    * identical signatures (minhash jaccard 1, simhash Hamming 0, identical
+    * winnowing fingerprints) and the disjoint-vocabulary singles verify to
+    * jaccard 0 — so at a high threshold the exact output pair set is
+    * exactly the within-group cliques. Pins sketch-path semantics against
+    * regressions that a rows-only oracle cannot see. */
+  private def plantedCorpus = {
+    val groupA = Seq( // 3 identical docs
+      10L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      11L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      12L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    val groupB = Seq( // 2 identical docs
+      20L -> "one two three four five six seven eight nine ten eleven twelve",
+      21L -> "one two three four five six seven eight nine ten eleven twelve")
+    val singles = Seq(
+      30L -> "red orange yellow green blue indigo violet purple pink brown",
+      31L -> "monday tuesday wednesday thursday friday saturday sunday morning noon night",
+      32L -> "north south east west up down left right forward backward")
+    (groupA ++ groupB ++ singles).toDF("doc_id", "text")
+  }
+  private val plantedPairs = Set((10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L))
+
+  test("minhash golden: exact expected pair set on the planted fixture") {
+    val got = Dedup.minhashNearDuplicates(plantedCorpus, "doc_id", "text",
+        threshold = 0.9)
+      .collect().map(r => (r.getLong(0) min r.getLong(1), r.getLong(0) max r.getLong(1)))
+      .toSet
+    assert(got == plantedPairs, s"expected $plantedPairs, got $got")
+  }
+
+  test("simhash golden: exact expected pair set at Hamming 0") {
+    val got = Dedup.simhashNearDuplicates(plantedCorpus, "doc_id", "text",
+        maxHamming = 0)
+      .collect().map(r => (r.getLong(0) min r.getLong(1), r.getLong(0) max r.getLong(1)))
+      .toSet
+    assert(got == plantedPairs, s"expected $plantedPairs, got $got")
+  }
+
+  test("fingerprint golden: identical-fingerprint pairs are exactly the planted groups") {
+    val fps = TextAnalysis.fingerprints(plantedCorpus, "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Seq[Long]]("fingerprint").toSet)
+    val got = (for {
+      (ida, fa) <- fps; (idb, fb) <- fps
+      if ida < idb && fa == fb
+    } yield (ida, idb)).toSet
+    assert(got == plantedPairs, s"expected $plantedPairs, got $got")
+  }
+
+  test("IVF persisted index: probe plan prunes unprobed cell partitions") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val (centroids, indexed) = Similarity.ivfIndex(emb, k = 16, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    try {
+      val persisted = Similarity.writeIvfIndex(indexed, dir)
+      val res = Similarity.cosineTopKIvf(centroids, persisted,
+        emb.filter($"vec_id" === 0), k = 3, nprobe = 4)
+      // the probe must surface in the scan as a PartitionFilter over cell
+      val plan = res.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+        s"expected partition pruning on cell, plan:\n$plan")
+      val pruned = "PartitionFilters: \\[([^\\]]*)\\]".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(pruned.exists(f => f.contains("cell") && f.trim.nonEmpty),
+        s"PartitionFilters empty, plan:\n$plan")
+      // and the pruned probe returns the same rows as the in-memory index
+      val mem = Similarity.cosineTopKIvf(centroids, indexed,
+        emb.filter($"vec_id" === 0), k = 3, nprobe = 4)
+      assert(res.collect().map(_.toString).sorted
+        .sameElements(mem.collect().map(_.toString).sorted))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
   }
 
   test("language id: stopword heuristic") {
