@@ -69,14 +69,21 @@ object Dedup {
 
     val salted = banded.select($"bucket", $"id")
       .withColumn("salt", pmod(xxhash64($"id"), lit(salts.max(1))))
-    val ranked = salted.withColumn("rk",
-      row_number().over(Window.partitionBy($"bucket", $"salt").orderBy($"id")))
+    val w = Window.partitionBy($"bucket", $"salt")
+    val ranked = salted
+      .withColumn("rk", row_number().over(w.orderBy($"id")))
+      .withColumn("cnt", count(lit(1)).over(w))
 
-    // offset-exploded adjacency: d ∈ 1..maxBucket, equi-join on rk_a + d =
-    // rk_b — each exploded row meets at most one partner (true O(n·d) work)
+    // offset-exploded adjacency: d ∈ 1..min(maxBucket, cnt - rk), equi-join
+    // on rk_a + d = rk_b — each exploded row meets exactly one partner, so
+    // comparisons are O(pairs emitted); bounding d by the subgroup size
+    // means the (overwhelmingly common) singleton buckets explode NOTHING
+    // instead of maxBucket dead probes per row
     def offsetPairs(df: DataFrame): DataFrame = {
+      val lim = least(lit(maxBucket.max(1)), ($"cnt" - $"rk").cast("int"))
       val l = df.select($"bucket", $"salt", $"id".as("id_a"), $"rk",
-          explode(sequence(lit(1), lit(maxBucket.max(1)))).as("d"))
+          explode(when(lim >= 1, sequence(lit(1), lim))
+            .otherwise(array().cast("array<int>"))).as("d"))
         .select($"bucket", $"salt", $"id_a", ($"rk" + $"d").as("rk"))
       val r = df.select($"bucket", $"salt", $"id".as("id_b"), $"rk")
       l.join(r, Seq("bucket", "salt", "rk")).select($"id_a", $"id_b")
@@ -91,9 +98,10 @@ object Dedup {
       .select($"id_a", $"id_b")
     // representatives chain across salts: ≤ `salts` rows per bucket, so the
     // per-bucket window is tiny and maxBucket ≥ salts makes them a clique
+    val wb = Window.partitionBy($"bucket")
     val repsRanked = reps.select($"bucket", lit(0L).as("salt"), $"id")
-      .withColumn("rk",
-        row_number().over(Window.partitionBy($"bucket").orderBy($"id")))
+      .withColumn("rk", row_number().over(wb.orderBy($"id")))
+      .withColumn("cnt", count(lit(1)).over(wb))
     val acrossSalts = offsetPairs(repsRanked)
 
     withinSalt.unionByName(star).unionByName(acrossSalts)
@@ -125,12 +133,24 @@ object Dedup {
 
   /** MinHash signature over pre-hashed shingles: each shingle string is
     * hashed ONCE to a long, then the `numHashes` families re-mix the longs
-    * (fixed-width, codegen-cheap) — not `numHashes` string hashes per
-    * shingle. */
+    * (fixed-width) — not `numHashes` string hashes per shingle.
+    *
+    * `hs` SHOULD be an attribute (a materialized column), and the families
+    * are deliberately an `array(...)` of `numHashes` separate expressions —
+    * NOT `transform(sequence(...), k => ...hs...)`. The transform form
+    * references `hs` once syntactically INSIDE a lambda body, so
+    * CollapseProject inlines the upstream shingle+hash projection into the
+    * lambda, where it is then re-evaluated once per family (measured 8×
+    * slowdown of the whole minhash path). `numHashes` syntactic references
+    * to a non-cheap attribute block the collapse and keep `hs` evaluated
+    * once per row. */
   def minhashSignatureFromHashes(hs: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      k => array_min(transform(hs, h => xxhash64(h, k))))
+    array((0 until numHashes).map(k =>
+      array_min(transform(hs, h => xxhash64(h, lit(k))))): _*)
 
+  /** Convenience one-shot form — inlines the shingle hashing `numHashes`
+    * times, so use only on small frames/tests; production paths
+    * materialize `hs` first (see [[minhashSignatureFromHashes]]). */
   def minhashSignature(text: Column, numHashes: Int = 64): Column =
     minhashSignatureFromHashes(transform(shingles(text), s => xxhash64(s)), numHashes)
 
@@ -157,9 +177,14 @@ object Dedup {
     // the payload through every exchange of the pairing
     val sh = docs.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
 
+    // `hs` MUST stay its own projection: inlining it into the signature
+    // expression would substitute the per-shingle string hash into all
+    // `numHashes` family lambdas (64× recomputation per row — measured 8×
+    // slower); as a multiply-referenced non-cheap expression it blocks
+    // CollapseProject and is evaluated once per row
     val banded = sh
-      .withColumn("sig", minhashSignatureFromHashes(
-        transform($"sh", s => xxhash64(s)), numHashes))
+      .withColumn("hs", transform($"sh", s => xxhash64(s)))
+      .withColumn("sig", minhashSignatureFromHashes($"hs", numHashes))
       .select($"id", posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice($"sig", b * rowsPerBand + lit(1), lit(rowsPerBand))))))
       .select($"id", concat($"pos", lit(":"), $"col").as("bucket"))
