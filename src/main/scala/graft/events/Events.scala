@@ -252,8 +252,10 @@ object Events {
     *    bound to the capture value, so the info OPTIONALs can't join),
     *    again winter-first per value;
     *  - winter_war_collection fills only rows where no earlier OPTIONAL
-    *    bound `?war`: an unparseable capture value matching no regex, or a
-    *    no-capture record whose info values matched nothing. */
+    *    bound `?war` — PER VALUE: an unparseable capture value matching no
+    *    regex, an info value matching no regex (even when a sibling value
+    *    matched — the reference emits both the sibling's war AND
+    *    WinterWar), or a no-capture record with no info values at all. */
   def relatedPeriods(triples: DataFrame): DataFrame = {
     val spark = triples.sparkSession
     import spark.implicits._
@@ -295,9 +297,15 @@ object Events {
           .when($"objValue".rlike("194[12345]"), lit(CONFLICTS + "ContinuationWar"))
           .as("war"))
     val infoResolved = infoWar.filter($"war".isNotNull)
-    // wwc fires for a no-capture record only when NO info value matched
-    val noCaptureWwc = noCapture
-      .join(infoResolved.select($"subj").distinct(), Seq("subj"), "left_anti")
+    // per-VALUE wwc: the reference's wwc OPTIONAL fires on each solution
+    // ROW whose ?war is still unbound — an info value matching no regex
+    // (even when a SIBLING value matched and already emitted its war), or
+    // a no-capture record with no additional_information triples at all
+    val infoUnbound = infoWar.filter($"war".isNull).select($"subj")
+      .unionByName(noCapture
+        .join(infoWar.select($"subj").distinct(), Seq("subj"), "left_anti")
+        .select($"subj"))
+    val noCaptureWwc = infoUnbound.distinct()
       .join(wwcSubjects, Seq("subj"), "left_semi")
       .select($"subj", lit(CONFLICTS + "WinterWar").as("war"))
 

@@ -97,7 +97,9 @@ object Extraction {
   }
 
   /** Schema graph derived from the FieldSpec table
-    * (reference: src/csv_to_rdf.py:367-374). */
+    * (reference: src/csv_to_rdf.py:367-374), concatenated with the static
+    * base schema ([[schemaBaseTriples]]) the way process.sh folds
+    * `input_rdf/schema_base.ttl` into the schema output. */
   def schemaTriples(spark: SparkSession): Dataset[RdfTriple] = {
     import spark.implicits._
     val rows = FieldSpecs.prisonerFields.flatMap { s =>
@@ -105,6 +107,52 @@ object Extraction {
         (if (s.nameFi.nonEmpty) Seq(RdfTriple.langLit(s.uri, NS.SKOS_PREF_LABEL, s.nameFi, "fi")) else Nil) ++
         (if (s.nameEn.nonEmpty) Seq(RdfTriple.langLit(s.uri, NS.SKOS_PREF_LABEL, s.nameEn, "en")) else Nil)
     }.distinct
-    spark.createDataset(rows)
+    spark.createDataset(rows ++ schemaBase)
+  }
+
+  /** The hand-written base schema constants of
+    * `input_rdf/schema_base.ttl:12-84` — record/camp classes and camp
+    * properties that no mapping row derives. */
+  private[graft] val schemaBase: Seq[RdfTriple] = {
+    val rdfs = NS.RDFS
+    val ws = NS.SCHEMA_WARSA
+    val ps = NS.SCHEMA_POW
+    def cls(uri: String, subClassOf: Seq[String], en: String, fi: String) =
+      Seq(RdfTriple.uri(uri, NS.RDF_TYPE, rdfs + "Class"),
+        RdfTriple.langLit(uri, NS.SKOS_PREF_LABEL, en, "en"),
+        RdfTriple.langLit(uri, NS.SKOS_PREF_LABEL, fi, "fi")) ++
+        subClassOf.map(p => RdfTriple.uri(uri, rdfs + "subClassOf", p))
+    def prop(uri: String, domain: Option[String], range: Option[String],
+             en: String, fi: String) =
+      Seq(RdfTriple.uri(uri, NS.RDF_TYPE, NS.RDF_PROPERTY),
+        RdfTriple.langLit(uri, NS.SKOS_PREF_LABEL, en, "en"),
+        RdfTriple.langLit(uri, NS.SKOS_PREF_LABEL, fi, "fi")) ++
+        domain.map(d => RdfTriple.uri(uri, rdfs + "domain", d)) ++
+        range.map(r => RdfTriple.uri(uri, rdfs + "range", r))
+
+    cls(ws + "PrisonerRecord", Seq(NS.CRM + "E31_Document"),
+      "Prisoner of War Record", "Sotavankiasiakirja") ++
+      prop(ps + "warsa_unit", None, Some(ws + "Group"),
+        "Military Unit", "Joukko-osasto") ++
+      cls(ws + "PowLocation", Seq(NS.CRM + "E27_Site", NS.CRM + "E53_Place"),
+        "Prisoner-of-War Captivity Location", "Sotavangin sijoituspaikka") ++
+      cls(ws + "PowCamp", Seq(ws + "PowLocation"),
+        "Prisoner-of-War Camp", "Sotavankileiri") ++
+      cls(ws + "PowHospital", Seq(ws + "PowLocation"),
+        "Prisoner-of-War Hospital", "Sotavankisairaala") ++
+      prop(ps + "camp_id", Some(ws + "PowLocation"), Some(rdfs + "Literal"),
+        "Prisoners of war captivity location identifier", "Sotavankeuspaikan tunniste") ++
+      prop(ps + "location", Some(ws + "PowLocation"), Some(rdfs + "Literal"),
+        "Captivity location whereabouts", "Vankeuspaikan sijainti") ++
+      prop(ps + "captivity_location", Some(ws + "PowCamp"), Some(rdfs + "Literal"),
+        "Captivity location", "Vankeuspaikka") ++
+      prop(ps + "time_of_operation", Some(ws + "PowCamp"), Some(rdfs + "Literal"),
+        "Time of operation", "Toiminta-aika") ++
+      prop(ps + "camp_information", Some(ws + "PowLocation"), Some(rdfs + "Literal"),
+        "Captivity location information", "Tietoja vankeuspaikasta") ++
+      prop(ps + "camp_photographs", Some(ws + "PowLocation"), Some(rdfs + "Literal"),
+        "Captivity location photographs", "Vankeuspaikan valokuvia") ++
+      prop(ps + "coordinates", Some(ws + "PowLocation"), Some(rdfs + "Literal"),
+        "Captivity location coordinates", "Vankeuspaikan koordinaatit")
   }
 }

@@ -79,6 +79,14 @@ object SynthDocs {
       struct(lit(kind).as("kind"), text.as("text"),
         lit(null).cast("string").as("media_ref"), lit(offset).as("offset"))
 
+    // every 9th record carries a Sotilaan Ääni issue reference in the
+    // magazine-index "nro <n>/<year>" shape, so the J10 magazine linker has
+    // real in-pipeline traffic; empty values are dropped by the P3 guard
+    val magazine = when(pmod($"id", lit(9)) === 0,
+      concat(lit("nro "), (pmod($"id" / 9, lit(30)) + 1).cast("int"),
+        lit("/"), (lit(1940) + pmod($"id", lit(5))).cast("int")))
+      .otherwise(lit(""))
+
     base.select(
       concat(lit("prisoner_"), $"id").as("doc_id"),
       array(
@@ -91,6 +99,7 @@ object SynthDocs {
         // the ';'-separated captivity cell yields two spans (offsets 0,1)
         span("vankeuspaikat", substring_index(captivity, "; ", 1), 0),
         span("vankeuspaikat", substring_index(captivity, "; ", -1), 1),
+        span("Sotilaan Ääni-lehti, digitoitu ja indeksoitu", magazine, 0),
         span("muita tietoja", $"text", 0),
       ).as("spans"))
   }

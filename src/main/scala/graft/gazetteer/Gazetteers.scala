@@ -117,22 +117,76 @@ object Gazetteers {
   }
 
   /** Camps/hospitals: (uri, camp_id, captivity_location)
-    * (sparql/construct_camps.sparql:13-34 + linker.py:79-83 aliases). */
+    * (sparql/construct_camps.sparql:13-34 + linker.py:79-83 aliases).
+    * URIs are minted with the SAME rule the pipeline's camps-conversion
+    * stage uses (E19: `camp_`/`hospital_` + slugify(camp_id else
+    * captivity_location), CampConversion.remintSubjects), so link targets
+    * and the converted camp graph share one URI space — the role Fuseki's
+    * single warsa graph plays in the reference (process.sh:20-23). */
   def camps(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val numbered = Seq("74", "75", "99", "135", "158", "1825", "3", "12")
-      .map(n => (s"camp_$n", n, s"leiri $n", s"6${n.take(1)}.${n}, 3${n.take(1)}.${n}"))
-    val named = Seq(
-      ("camp_vienan-kemi", "", "Vienan Kemi", "65.0, 34.6"),
-      ("camp_vienan-kemi-svs", "", "Vienan Kemi sotavankisairaala", "65.0, 34.6"),
-      ("camp_arkangel-svs", "", "Arkangel sotavankisairaala", "64.5, 40.5"),
-      ("camp_siestarjoki", "", "Siestarjoki, ven. Sestroretsk", "60.1, 29.9"),
-      ("camp_karhumaki", "", "Karhumäki, evakuointipiste", "62.9, 34.4"),
-      ("camp_sorokka", "", "Sorokka ven. Belomorsk", "64.5, 34.8"),
-    )
-    (numbered ++ named).toDF("local", "camp_id", "captivity_location", "coordinates")
+    (rawCampRows.map { case (_, id, loc, coord, hospital) =>
+      val prefix = if (hospital) "hospital_" else "camp_"
+      val slug = graft.functions.Converters.slugify(if (id.nonEmpty) id else loc)
+      (s"$prefix$slug", id, loc, coord)
+    }).toDF("local", "camp_id", "captivity_location", "coordinates")
       .select(concat(lit(NS.DATA), $"local").as("uri"), $"camp_id",
         $"captivity_location", $"coordinates")
+  }
+
+  /** (rowIdx, camp_id, captivity_location, coordinates, isHospital) — the
+    * deterministic seed both [[camps]] and [[rawCampTriples]] derive from. */
+  private val rawCampRows: Seq[(Int, String, String, String, Boolean)] = {
+    val numbered = Seq("74", "75", "99", "135", "158", "1825", "3", "12")
+      .zipWithIndex
+      .map { case (n, i) => (i, n, s"leiri $n", s"6${n.take(1)}.${n}, 3${n.take(1)}.${n}", false) }
+    val named = Seq(
+      ("Vienan Kemi", "65.0, 34.6", false),
+      ("Vienan Kemi sotavankisairaala", "65.0, 34.6", true),
+      ("Arkangel sotavankisairaala", "64.5, 40.5", true),
+      ("Siestarjoki, ven. Sestroretsk", "60.1, 29.9", false),
+      ("Karhumäki, evakuointipiste", "62.9, 34.4", false),
+      ("Sorokka ven. Belomorsk", "64.5, 34.8", false),
+    ).zipWithIndex.map { case ((loc, coord, hosp), i) => (100 + i, "", loc, coord, hosp) }
+    numbered ++ named
+  }
+
+  /** RAW camps+hospitals triples as csv_to_rdf would emit them BEFORE the
+    * E19/E20 re-minting (row-numbered `r_<n>` subjects, literal camp
+    * properties) — the `camps_combined.ttl` analogue (convert.sh:27-54).
+    * The pipeline's camps stage re-mints these and runs the camp
+    * CONSTRUCT (process.sh:20-23). */
+  def rawCampTriples(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = rawCampRows.flatMap { case (idx, id, loc, coord, hospital) =>
+      val subj = s"${NS.DATA}r_$idx"
+      val cls = NS.SCHEMA_WARSA + (if (hospital) "PowHospital" else "PowCamp")
+      Seq(
+        (subj, NS.RDF_TYPE, cls, true),
+        (subj, NS.SCHEMA_POW + "captivity_location", loc, false),
+        (subj, NS.SCHEMA_POW + "coordinates", coord, false)) ++
+        (if (id.nonEmpty) Seq((subj, NS.SCHEMA_POW + "camp_id", id, false)) else Nil) ++
+        (if (hospital)
+          Seq((subj, NS.SCHEMA_POW + "hospital_type", "sotavankisairaala", false))
+        else Nil)
+    }
+    rows.map { case (s, p, o, u) => (s, p, o, u, null: String, null: String, "") }
+      .toDF("subj", "pred", "objValue", "objIsUri", "objLang", "objDatatype", "docId")
+  }
+
+  /** Person-document PDF path listing — the filesystem glob the reference
+    * scans (linker.py:316-363); prisoner ids chosen inside the synthetic
+    * doc-id space so links resolve. The non-matching row exercises the
+    * regex filter. */
+  def personDocumentPaths(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      "data/person_documents/returned/1_palautetut.pdf",
+      "data/person_documents/returned/17_palautetut.pdf",
+      "data/person_documents/winterwar_registration/2_rekisterointi.pdf",
+      "data/person_documents/winterwar_interrogation/5_kuulustelu.pdf",
+      "data/person_documents/misc/readme.txt",
+    ).toDF("path")
   }
 
   /** Occupations for fuzzy linking at threshold 0.84 (linker.py:548-549). */

@@ -199,12 +199,16 @@ object Linkers {
       .select(col("target").as("uri"), $"labels", $"covernumber", $"conflict", $"target")
     val candidates = directTargets.unionByName(formedTargets)
 
+    // deterministic aggregate, NOT dropDuplicates: a gazetteer may carry
+    // several hasConflict edges per actor (the reference's OPTIONAL
+    // permits it), and an arbitrary kept row would make the period_match
+    // disambiguation run-to-run nondeterministic
     val labelKeys = broadcast(
       candidates.select($"target", $"conflict", explode($"labels").as("lbl"))
         .select($"target".as("uri"), $"conflict", fold($"lbl").as("gram"))
         .unionByName(candidates.select($"target".as("uri"), $"conflict",
           $"covernumber".as("gram")))
-        .dropDuplicates("uri", "gram"))
+        .groupBy($"uri", $"gram").agg(min($"conflict").as("conflict")))
 
     val cands = mentionGrams.join(labelKeys, "gram")
       .withColumn("gram_len", length($"gram"))
@@ -334,7 +338,10 @@ object Linkers {
       exploded.select($"uri", coalesce($"label", lit("Video")).as("label"),
         $"contentUrl").distinct(),
       NS.SCHEMA_WARSA + "Video")
-    (prisonerLinks, warsaLinks.unionByName(docs))
+    // links (prisoner + warsa actor) go to the prisoners graph
+    // (person_video_links.ttl); doc entities to the media graph
+    // (_media_videos.ttl) — process.sh:68-71,126-128
+    (prisonerLinks.unionByName(warsaLinks), docs)
   }
 
   /** J13: sources — slugified label join vs register with on-the-fly minting

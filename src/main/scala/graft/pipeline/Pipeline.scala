@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.canon.ConnectedComponents
 import graft.erlink.RecordLinkage
 import graft.events.Events
-import graft.extract.Extraction
+import graft.extract.{CampConversion, Extraction}
 import graft.gazetteer.Gazetteers
 import graft.link.Linkers
 import graft.model.NS
@@ -43,6 +43,28 @@ object Pipeline {
     import spark.implicits._
     val store = new SnapshotStore(spark, workDir)
 
+    // -- 0. camps & hospitals conversion (process.sh:20-23; convert.sh
+    // camps flow): raw row-numbered triples -> E19 re-mint under the
+    // slugified camp/hospital URI space -> camp CONSTRUCT (labels +
+    // wgs84 coordinates). A separate graph, like the reference's
+    // camps.ttl/warsa graph — the camp LINKER's gazetteer shares its URI
+    // minting rule, so location links resolve into this graph.
+    store.stage("camps", metrics = Seq("triples" -> count(lit(1)))) {
+      val raw = Gazetteers.rawCampTriples(spark)
+      val camps = CampConversion.remintSubjects(raw,
+        NS.SCHEMA_WARSA + "PowCamp", NS.SCHEMA_POW + "camp_id",
+        NS.SCHEMA_POW + "captivity_location", NS.DATA + "camp_")
+      val both = CampConversion.remintSubjects(camps,
+        NS.SCHEMA_WARSA + "PowHospital", NS.SCHEMA_POW + "camp_id",
+        NS.SCHEMA_POW + "captivity_location", NS.DATA + "hospital_")
+      CampConversion.constructCamps(both)
+    }
+
+    // -- 0b. schema graph (csv_to_rdf.py --outschema + schema_base.ttl) ---
+    store.stage("schema", metrics = Seq("triples" -> count(lit(1)))) {
+      Extraction.schemaTriples(spark).toDF()
+    }
+
     // -- 1. extraction ----------------------------------------------------
     val extracted = store.stage("extract",
       metrics = Seq("triples" -> count(lit(1))), sortCols = Seq("pred")) {
@@ -61,6 +83,12 @@ object Pipeline {
     }
 
     // -- 3. linking (process.sh:30-96) ------------------------------------
+    // media linkers return (links, media-doc entities): links join the
+    // prisoners graph (…_links.ttl files), entities go to the separate
+    // media stage below (prisoners_media.ttl, process.sh:126-128)
+    val magazines = Linkers.linkMagazines(pruned, Gazetteers.magazineIndex(spark))
+    val personDocs = Linkers.linkPersonDocuments(Gazetteers.personDocumentPaths(spark))
+    val videos = Linkers.linkVideos(Gazetteers.videoIndex(spark), Gazetteers.videoLabels(spark))
     val linked = store.stage("linked", metrics = Seq("links" -> count(lit(1)))) {
       val ranksGaz = Gazetteers.ranks(spark)
       val periods = Linkers.docPeriods(pruned)
@@ -71,8 +99,16 @@ object Pipeline {
           .unionByName(Linkers.linkPnrDeathMunicipality(pruned, Gazetteers.pnrPlaces(spark)))
           .unionByName(Linkers.linkOccupations(pruned, Gazetteers.occupations(spark)))
           .unionByName(Linkers.linkUnits(pruned, Gazetteers.units(spark), periods, Gazetteers.unitClasses(spark)))
-          .unionByName(Linkers.linkMagazines(pruned, Gazetteers.magazineIndex(spark))._1)
+          .unionByName(magazines._1)
+          .unionByName(personDocs._1)
+          .unionByName(videos._1)
       links
+    }
+
+    // -- 3b. media graph: magazine/person-document/video doc entities -----
+    store.stage("media", metrics = Seq("triples" -> count(lit(1)))) {
+      magazines._2.unionByName(personDocs._2).unionByName(videos._2)
+        .dropDuplicates("subj", "pred", "objValue", "objIsUri", "objLang", "objDatatype")
     }
 
     // -- 4. person record linkage (J9) ------------------------------------

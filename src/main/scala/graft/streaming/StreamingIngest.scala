@@ -21,7 +21,13 @@ object StreamingIngest {
 
   /** Drain new files under `docsDir` (parquet doc-table shape) into
     * `outDir` as appended triples. Returns the number of micro-batches
-    * processed. `checkpointDir` carries the exactly-once file log. */
+    * processed. `checkpointDir` carries the file-source log; each batch
+    * writes to its OWN `batch=<id>` subdirectory with mode overwrite, so a
+    * replay after a crash between write and checkpoint commit overwrites
+    * the same directory instead of double-appending — idempotent retries
+    * make the sink end-to-end exactly-once (a bare `append` into one
+    * directory would be at-least-once). Readers see `batch` as a discovered
+    * partition column — per-batch lineage for free. */
   def drainAvailable(spark: SparkSession, docsDir: String, outDir: String,
                      checkpointDir: String): Long = {
     val docs = spark.readStream
@@ -32,9 +38,9 @@ object StreamingIngest {
     val q = docs.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         Extraction.triples(batch).toDF()
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         batches += 1
         ()
       }
@@ -52,8 +58,10 @@ object StreamingIngest {
     * by arrival rate × horizon, not corpus size; duplicates farther apart
     * than the horizon are left to the batch `dedup_exact` sweep — the
     * standard streaming/batch split for dedup. Docs need an event-time
-    * column (`ingest_ts`); exactly-once per input file via the stream
-    * checkpoint, as above. */
+    * column (`ingest_ts`). The sink writes per-batch `batch=<id>`
+    * directories with mode overwrite (idempotent on replay), so together
+    * with the stream checkpoint the drain is end-to-end exactly-once per
+    * input file — see [[drainAvailable]]. */
   def drainDeduped(spark: SparkSession, docsDir: String, outDir: String,
                    checkpointDir: String, watermark: String = "1 hour"): Long = {
     import org.apache.spark.sql.functions._
@@ -73,9 +81,9 @@ object StreamingIngest {
     val q = deduped.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.drop("digest", "ingest_ts")
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         batches += 1
         ()
       }

@@ -58,11 +58,19 @@ class GoldenTtlSpec extends AnyFunSuite {
   test("schema graph emit: one Property + lang labels per mapped field (E18)") {
     import graft.extract.FieldSpecs
     val schema = Extraction.schemaTriples(spark).collect()
-    // every mapped field URI is typed rdf:Property exactly once
+    // every mapped field URI is typed rdf:Property, plus the static base
+    // properties (input_rdf/schema_base.ttl:12-84)
     val typed = schema.filter(t => t.pred == NS.RDF_TYPE && t.objValue == NS.RDF_PROPERTY)
       .map(_.subj).toSet
-    val expected = FieldSpecs.prisonerFields.map(_.uri).toSet
+    val baseProps = Extraction.schemaBase
+      .filter(t => t.pred == NS.RDF_TYPE && t.objValue == NS.RDF_PROPERTY).map(_.subj).toSet
+    val expected = FieldSpecs.prisonerFields.map(_.uri).toSet ++ baseProps
     assert(typed == expected, s"typed=${typed.size} expected=${expected.size}")
+    // the static base classes ride along: PrisonerRecord subClassOf E31
+    assert(schema.exists(t => t.subj == NS.SCHEMA_WARSA + "PrisonerRecord" &&
+      t.pred == NS.RDFS + "subClassOf" && t.objValue == NS.CRM + "E31_Document"))
+    assert(schema.exists(t => t.subj == NS.SCHEMA_WARSA + "PowCamp" &&
+      t.pred == NS.RDFS + "subClassOf" && t.objValue == NS.SCHEMA_WARSA + "PowLocation"))
     // labels carry fi/en language tags (csv_to_rdf.py:367-374)
     val labels = schema.filter(_.pred == NS.SKOS_PREF_LABEL)
     assert(labels.nonEmpty && labels.forall(t => t.objLang == "fi" || t.objLang == "en"))

@@ -142,6 +142,13 @@ class LinkersSpec extends AnyFunSuite {
       typ("r9"), cap("r9", "1942-01-01", dated = true), cap("r9", "talvisota"),
       // r10: capture present -> info fallback must NOT fire
       typ("r10"), cap("r10", "tuntematon"), info("r10", "1939"),
+      // r11: no capture, wwc, one MATCHING info value and one non-matching
+      // -> reference emits BOTH: the matched war (from the matching row)
+      // and WinterWar (wwc fires on the unbound sibling row)
+      typ("r11"), info("r11", "palasi 1944"), info("r11", "ei tietoa"), wwc("r11"),
+      // r12: no capture, wwc, ALL info values match -> no unbound row, so
+      // wwc must NOT fire
+      typ("r12"), info("r12", "palasi 1944"), wwc("r12"),
     ).toDF("subj", "pred", "objValue", "objIsUri", "objLang", "objDatatype", "docId")
 
     val got = Events.relatedPeriods(fixture)
@@ -159,6 +166,10 @@ class LinkersSpec extends AnyFunSuite {
     assert(got(NS.DATA + "r9") == Set(W, C))
     assert(!got.contains(NS.DATA + "r10"),
       "info fallback must not fire when a capture literal exists")
+    assert(got(NS.DATA + "r11") == Set(W, C),
+      "wwc fires per VALUE: the non-matching info row must add WinterWar")
+    assert(got(NS.DATA + "r12") == Set(C),
+      "wwc must not fire when every info value bound a war")
   }
 
   test("documents-links minting: unlinked records get wp-minted P70 (guarded)") {
@@ -230,16 +241,19 @@ class LinkersSpec extends AnyFunSuite {
   }
 
   test("video linking: index rows -> prisoner/warsa links + media docs (J12)") {
-    val (prisonerLinks, docs) = Linkers.linkVideos(
+    val (links, docs) = Linkers.linkVideos(
       Gazetteers.videoIndex(spark), Gazetteers.videoLabels(spark))
-    val byProp = prisonerLinks
+    val byProp = links
+      .filter($"subj".startsWith(NS.DATA))
       .select("subj", "objValue").as[(String, String)].collect()
     // index rows 1 and 2 link prisoners (row 2 has TWO comma-split files)
     assert(byProp.count(_._1 == NS.DATA + "prisoner_1") == 1)
     assert(byProp.count(_._1 == NS.DATA + "prisoner_2") == 2)
     assert(byProp.forall(_._2.startsWith(NS.MEDIA + "video_")))
-    // the warsa_uri row links the actor, not a prisoner
-    val warsa = docs.filter($"pred" === (NS.SCHEMA_WARSA + "documented_in_video"))
+    // the warsa_uri row links the actor, not a prisoner (and the link rides
+    // in the LINKS frame, not the media-entity frame)
+    val warsa = links.filter($"pred" === (NS.SCHEMA_WARSA + "documented_in_video") &&
+        $"subj".startsWith(NS.ACTORS))
       .select("subj").as[String].collect()
     assert(warsa.sameElements(Array(NS.ACTORS + "person_5")))
     // media doc entities carry type + contentUrl + label

@@ -95,6 +95,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(types.contains(NS.SCHEMA_WARSA + "Capture"), "capture events missing")
     assert(types.contains(NS.SCHEMA_WARSA + "Person"), "person entities missing")
 
+    // media links in the prisoners graph (J10/J11/J12 wired into the run)
+    assert(preds.contains(NS.SCHEMA_WARSA + "sotilaan_aani_magazine"), "magazine links missing")
+    assert(preds.contains(NS.SCHEMA_WARSA + "person_document"), "person-document links missing")
+    assert(preds.contains(NS.SCHEMA_WARSA + "documented_in_video"), "video links missing")
+    // ... and Events.people re-hangs them onto the person entities
+    val personMedia = out1.filter($"subj".startsWith(NS.ACTORS) &&
+      $"pred".isin(NS.SCHEMA_WARSA + "person_document",
+        NS.SCHEMA_WARSA + "documented_in_video",
+        NS.SCHEMA_WARSA + "sotilaan_aani_magazine"))
+    assert(personMedia.count() > 0, "media predicates not re-hung on person entities")
+
+    val store0 = new SnapshotStore(spark, dir)
+    // media graph: doc entities with type/label/contentUrl (the
+    // prisoners_media.ttl analogue)
+    val media = store0.read("media")
+    val mediaTypes = media.filter($"pred" === NS.RDF_TYPE)
+      .select("objValue").distinct().as[String].collect().toSet
+    assert(mediaTypes.contains(NS.SCHEMA_WARSA + "SotilaanAani"))
+    assert(mediaTypes.contains(NS.SCHEMA_WARSA + "PersonDocument"))
+    assert(mediaTypes.contains(NS.SCHEMA_WARSA + "Video"))
+    assert(media.filter($"pred" === (NS.SCHEMA_ORG + "contentUrl")).count() > 0)
+    // every media link target in the final graph resolves to a media entity
+    val linkTargets = out1.filter($"pred".isin(NS.SCHEMA_WARSA + "person_document",
+        NS.SCHEMA_WARSA + "documented_in_video", NS.SCHEMA_WARSA + "sotilaan_aani_magazine"))
+      .select($"objValue".as("subj")).distinct()
+    val unresolved = linkTargets.join(media.select("subj").distinct(), Seq("subj"), "left_anti")
+    assert(unresolved.count() == 0, "media link targets missing from the media graph")
+
+    // camps graph: converted camp entities with label + wgs84 coordinates
+    val camps = store0.read("camps")
+    assert(camps.filter($"pred" === NS.SKOS_PREF_LABEL && $"objLang" === "fi").count() > 0)
+    assert(camps.filter($"pred" === "http://www.w3.org/2003/01/geo/wgs84_pos#lat").count() > 0)
+    // the re-minted camp URIs share the linker gazetteer's URI space, so
+    // location links from the prisoners graph resolve into the camps graph
+    val campTargets = out1.filter($"pred" === (NS.SCHEMA_POW + "location"))
+      .select($"objValue".as("subj")).distinct()
+    val campSubjects = camps.select("subj").distinct()
+    assert(campTargets.join(campSubjects, Seq("subj"), "left_semi").count() > 0,
+      "no location link resolves into the camps graph")
+
+    // schema graph written (mapped properties + static base)
+    val schema = store0.read("schema")
+    assert(schema.filter($"subj" === (NS.SCHEMA_WARSA + "PowCamp")).count() > 0)
+
     // kill-and-resume: wipe the last two stages, rerun -> identical output
     val store = new SnapshotStore(spark, dir)
     store.invalidate("final")
