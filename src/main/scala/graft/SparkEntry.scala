@@ -296,6 +296,29 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // ---- text analysis: PII detection + scrubbing -------------------------
+    // (PII is injected deterministically from doc_id so the regex paths
+    // have real traffic; the operator under test is the detect/scrub pass)
+    "text_pii_scrub" -> ((s, d) => {
+      import s.implicits._
+      val aug = concat($"text",
+        when(pmod($"doc_id", lit(3)) === 0,
+          concat(lit(" contact user"), pmod($"doc_id", lit(50)).cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(pmod($"doc_id", lit(4)) === 0,
+          concat(lit(" tel +358 40 "), (pmod($"doc_id", lit(900)) + 100).cast("string"),
+            lit("123"))).otherwise(lit("")),
+        when(pmod($"doc_id", lit(5)) === 0,
+          concat(lit(" from 10.0."), pmod($"doc_id", lit(255)).cast("string"),
+            lit(".7 via https://example.org/p/"), $"doc_id".cast("string")))
+          .otherwise(lit("")))
+      val counts = TextAnalysis.piiCounts(aug)
+      t(s, d, "documents")
+        .select(Seq($"doc_id") ++ counts.map { case (n, c) => c.cast("long").as(n) } :+
+          TextAnalysis.scrubPii(aug).as("scrubbed"): _*)
+        .orderBy($"doc_id")
+    }),
+
     // ---- text analysis: winnowing fingerprint (hash-dependent) ------------
     "text_fingerprint" -> ((s, d) => {
       import s.implicits._
@@ -773,6 +796,25 @@ object SparkEntry {
         |       WHEN stops < 1 THEN 'no_stopwords'
         |       ELSE 'keep' END AS verdict
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_pii_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id % 50 AS VARCHAR) || '@example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' tel +358 40 ' || CAST(doc_id % 900 + 100 AS VARCHAR) || '123' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || CAST(doc_id % 255 AS VARCHAR) || '.7 via https://example.org/p/' || CAST(doc_id AS VARCHAR) ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(t, 'https?://[^\s]+')) AS n_url,
+        |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+        |  len(regexp_extract_all(t, '\+\d[\d ()-]{6,}\d')) AS n_phone,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    'https?://[^\s]+', '[URL]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g'),
+        |    '\+\d[\d ()-]{6,}\d', '[PHONE]', 'g') AS scrubbed
+        |FROM aug ORDER BY doc_id""".stripMargin,
 
     "text_lang_id" ->
       """WITH sc AS (

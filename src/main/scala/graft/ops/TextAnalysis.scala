@@ -82,6 +82,34 @@ object TextAnalysis {
       .otherwise("und")
   }
 
+  // -------------------------------------------------------------------
+  // PII detection / scrubbing — the redaction pass every training-data
+  // pipeline runs before release. Pure regexp expressions (codegen'd,
+  // narrow); the patterns stick to the regex subset Java and RE2 share,
+  // so a SQL oracle can mirror them byte-for-byte.
+
+  /** (name, pattern) — order matters for [[scrubPii]]: emails before
+    * phones (an email's digit run must not be half-eaten as a phone). */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "url" -> "https?://[^\\s]+",
+    "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "phone" -> "\\+\\d[\\d ()-]{6,}\\d",
+  )
+
+  /** Per-kind PII hit counts as exact integers. */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    piiPatterns.map { case (name, p) =>
+      s"n_$name" -> size(regexp_extract_all(text, lit(p), lit(0)))
+    }
+
+  /** Redact PII in place: each match replaced with an `[KIND]` placeholder
+    * (emails first so overlapping patterns resolve deterministically). */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (acc, (name, p)) =>
+      regexp_replace(acc, p, s"[${name.toUpperCase}]")
+    }
+
   /** Document fingerprint: winnowing-style rolling-hash sketch — minimum
     * xxhash64 over each window of `w` consecutive token 3-grams, distinct.
     * Standard winnowing (Schleimer et al., SIGMOD'03 — public algorithm). */

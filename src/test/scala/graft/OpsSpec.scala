@@ -166,6 +166,28 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pii: detection counts and scrub placeholders") {
+    val cases = Seq(
+      (1L, "mail me at john.doe@example.com or visit https://example.org/x?q=1"),
+      (2L, "server at 192.168.0.1 port 80"),
+      (3L, "call +358 40 1234567 now"),
+      (4L, "no pii here at all"),
+    ).toDF("doc_id", "text")
+    val counts = TextAnalysis.piiCounts($"text")
+    val got = cases
+      .select(Seq($"doc_id") ++ counts.map { case (n, c) => c.as(n) } :+
+        TextAnalysis.scrubPii($"text").as("s"): _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Int]("n_email") == 1 && got(1L).getAs[Int]("n_url") == 1)
+    assert(got(1L).getAs[String]("s") == "mail me at [EMAIL] or visit [URL]")
+    assert(got(2L).getAs[Int]("n_ipv4") == 1)
+    assert(got(2L).getAs[String]("s") == "server at [IPV4] port 80")
+    assert(got(3L).getAs[Int]("n_phone") == 1)
+    assert(got(3L).getAs[String]("s") == "call [PHONE] now")
+    assert(got(4L).getAs[Int]("n_email") == 0 && got(4L).getAs[Int]("n_phone") == 0)
+    assert(got(4L).getAs[String]("s") == "no pii here at all")
+  }
+
   test("language id: stopword heuristic") {
     val got = docs.select($"doc_id", TextAnalysis.langId($"text").as("l"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
