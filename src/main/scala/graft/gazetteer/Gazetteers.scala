@@ -174,6 +174,17 @@ object Gazetteers {
       .toDF("subj", "pred", "objValue", "objIsUri", "objLang", "objDatatype", "docId")
   }
 
+  /** Hand-curated link triples concatenated into the graph before person
+    * linking and consolidation (`input_rdf/additional_links.ttl` — the
+    * reference ships one curated `ps:unit` edge; same shape here, in the
+    * synthetic id space). */
+  def additionalLinks(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((NS.DATA + "prisoner_4", NS.SCHEMA_POW + "unit",
+      NS.ACTORS + "actor_3", true, null: String, null: String, "prisoner_4"))
+      .toDF("subj", "pred", "objValue", "objIsUri", "objLang", "objDatatype", "docId")
+  }
+
   /** Person-document PDF path listing — the filesystem glob the reference
     * scans (linker.py:316-363); prisoner ids chosen inside the synthetic
     * doc-id space so links resolve. The non-matching row exercises the

@@ -70,9 +70,19 @@ object Dedup {
     val salted = banded.select($"bucket", $"id")
       .withColumn("salt", pmod(xxhash64($"id"), lit(salts.max(1))))
     val w = Window.partitionBy($"bucket", $"salt")
+    // materialize the ranked candidate index ONCE: the three pairing
+    // branches below would otherwise each re-execute the upstream
+    // banding plan — measured: 6 corpus scans + 6 sketch/signature
+    // evaluations per dedup, with ReusedExchange never firing because the
+    // branches canonicalize differently (WindowGroupLimit pushdown on the
+    // rep filter). The checkpoint stores (bucket, id, salt, rk, cnt) —
+    // ids only, linear in corpus × bands; at scale that's the standard
+    // candidate-index materialization, far cheaper than re-scanning and
+    // re-sketching the corpus per branch.
     val ranked = salted
       .withColumn("rk", row_number().over(w.orderBy($"id")))
       .withColumn("cnt", count(lit(1)).over(w))
+      .localCheckpoint()
 
     // offset-exploded adjacency: d ∈ 1..min(maxBucket, cnt - rk), equi-join
     // on rk_a + d = rk_b — each exploded row meets exactly one partner, so

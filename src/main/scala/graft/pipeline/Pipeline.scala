@@ -102,6 +102,9 @@ object Pipeline {
           .unionByName(magazines._1)
           .unionByName(personDocs._1)
           .unionByName(videos._1)
+          // hand-curated extra links (input_rdf/additional_links.ttl,
+          // cat'd into the graph at process.sh:78,96)
+          .unionByName(Gazetteers.additionalLinks(spark))
       links
     }
 
