@@ -174,6 +174,22 @@ object Gazetteers {
       .toDF("subj", "pred", "objValue", "objIsUri", "objLang", "objDatatype", "docId")
   }
 
+  /** WarSampo-casualties family-name counts — the role of the SPARQL
+    * count query in the privacy pass (prune_nonpublic.py:149-175):
+    * (fam, count), deterministic over the same surname list SynthDocs
+    * draws from, so the common-name rule (endpoint ≥ 2 AND
+    * endpoint+local ≥ 4) has real traffic on both branches. */
+  def casualtiesNameCounts(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq("Virtanen", "Korhonen", "Mäkinen", "Nieminen", "Hämäläinen", "Laine",
+      "Heikkinen", "Koskinen", "Järvinen", "Lehtonen", "Saarinen", "Salminen",
+      "Heino", "Tuominen", "Rantanen", "Kinnunen", "Laitinen", "Karjalainen",
+      "Jokinen", "Mattila")
+      .zipWithIndex
+      .map { case (f, i) => (f, (1L + i % 5)) } // counts 1..5: some below the >=2 gate
+      .toDF("fam", "count")
+  }
+
   /** Hand-curated link triples concatenated into the graph before person
     * linking and consolidation (`input_rdf/additional_links.ttl` — the
     * reference ships one curated `ps:unit` edge; same shape here, in the

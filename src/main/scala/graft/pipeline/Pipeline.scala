@@ -75,11 +75,11 @@ object Pipeline {
       Extraction.errors(docs).toDF()
     }
 
-    // -- 2. privacy pruning (process.sh:25-28 runs before linking) --------
-    val endpointNames = spark.emptyDataFrame
-      .sparkSession.createDataFrame(Seq.empty[(String, Long)]).toDF("fam", "count")
+    // -- 2. privacy pruning (process.sh:25-28 runs before linking); the
+    // casualties name-count gazetteer plays the WarSampo SPARQL role in
+    // the common-name rule (prune_nonpublic.py:149-175)
     val pruned = store.stage("pruned", sortCols = Seq("pred")) {
-      Privacy.prunePersons(extracted, endpointNames, today)
+      Privacy.prunePersons(extracted, Gazetteers.casualtiesNameCounts(spark), today)
     }
 
     // -- 3. linking (process.sh:30-96) ------------------------------------

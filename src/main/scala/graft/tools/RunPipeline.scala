@@ -29,8 +29,8 @@ object RunPipeline {
     val sec = (System.nanoTime() - t0) / 1e9
 
     val store = new SnapshotStore(spark, workDir)
-    Seq("extract", "extract_errors", "pruned", "linked", "person_links",
-      "sourced", "canonical", "events", "final").foreach { st =>
+    Seq("camps", "schema", "extract", "extract_errors", "pruned", "linked",
+      "media", "person_links", "sourced", "canonical", "events", "final").foreach { st =>
       val m = store.readManifest(st)
       val rows = "\"rows\": (\\d+)".r.findFirstMatchIn(m).map(_.group(1)).getOrElse("?")
       val metrics = "\"metrics\": \\{([^}]*)\\}".r.findFirstMatchIn(m).map(_.group(1)).getOrElse("")
