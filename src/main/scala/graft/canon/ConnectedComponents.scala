@@ -47,6 +47,15 @@ object ConnectedComponents {
       .withColumn("comp", $"node")
       .localCheckpoint()
 
+    // one accumulator for the whole fixpoint (per-iteration accumulators
+    // get GC'd and make later executor heartbeats log benign
+    // "non-existent accumulator" warnings); each round compares the
+    // running total before/after its single job
+    val changedAcc = spark.sparkContext.longAccumulator("cc_changed")
+    val trackChange = udf { (changed: Boolean) =>
+      if (changed) changedAcc.add(1L)
+      changed
+    }
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -68,11 +77,7 @@ object ConnectedComponents {
       // change marker evaluated by the checkpoint job itself (over-count
       // from task retries is harmless: only zero-vs-nonzero is read); the
       // marker column is dropped after materialization, comp keeps its type
-      val changedAcc = spark.sparkContext.longAccumulator(s"cc_changed_$iter")
-      val trackChange = udf { (changed: Boolean) =>
-        if (changed) changedAcc.add(1L)
-        changed
-      }
+      val changedBefore = changedAcc.value
       val updated = propagated
         .join(parent, Seq("comp"), "left")
         .select($"node", least($"comp", coalesce($"pcomp", $"comp")).as("comp"),
@@ -82,7 +87,7 @@ object ConnectedComponents {
         .localCheckpoint()
 
       labels = updated.drop("_chg")
-      converged = changedAcc.value == 0L
+      converged = changedAcc.value == changedBefore
       iter += 1
     }
     require(converged,
