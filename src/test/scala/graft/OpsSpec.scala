@@ -166,6 +166,25 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch candidate pairing: bit-identical under input repartition") {
+    // salts/ranks derive from id hashes and id-ordered windows, never from
+    // physical layout — the resume/cluster-size determinism the north rule
+    // needs (any stage recomputable bit-identically at any parallelism)
+    def run(df: org.apache.spark.sql.DataFrame) = (
+      Dedup.minhashNearDuplicates(df, "doc_id", "text", threshold = 0.5)
+        .collect().map(_.toString).sorted.toSeq,
+      Dedup.simhashNearDuplicates(df, "doc_id", "text", maxHamming = 16)
+        .collect().map(_.toString).sorted.toSeq)
+    val corpus = plantedCorpus
+    assert(run(corpus) == run(corpus.repartition(7)))
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    def runAnn(df: org.apache.spark.sql.DataFrame) =
+      Similarity.nearDuplicatePairsLsh(df, threshold = 0.3, bits = 8)
+        .collect().map(_.toString).sorted.toSeq
+    assert(runAnn(emb) == runAnn(emb.repartition(5)))
+  }
+
   test("pii: detection counts and scrub placeholders") {
     val cases = Seq(
       (1L, "mail me at john.doe@example.com or visit https://example.org/x?q=1"),
