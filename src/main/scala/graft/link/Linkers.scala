@@ -21,6 +21,13 @@ object Normalize {
     * stays inside whole-stage codegen instead of a ScalaUDF boundary. */
   def jaroWinkler(a: Column, b: Column): Column =
     graft.functions.JaroWinklerExpression.jaroWinkler(a, b)
+
+  /** Normalized Levenshtein similarity in [0, 1] (1 = equal) — built on
+    * Spark's codegen'd `levenshtein`; the other fuzzy metric of the
+    * dictionary-linking family besides Jaro-Winkler. */
+  def levenshteinSim(a: Column, b: Column): Column =
+    lit(1.0) - levenshtein(a, b) /
+      greatest(length(a), length(b), lit(1)).cast("double")
 }
 
 /** Entity-linking operators (SURVEY.md §2.4 J1-J13), all re-expressed as
@@ -136,24 +143,40 @@ object Linkers {
     }
   }
 
-  /** J6: occupations — fuzzy Jaro-Winkler join at threshold 0.84
-    * (linker.py:546-549), blocked by first letter so the candidate space
-    * is |docs| × |bucket| instead of a full cross join; top-1 by score. */
-  def linkOccupations(triples: DataFrame, occGaz: DataFrame,
-                      threshold: Double = 0.84): DataFrame = {
-    val g = broadcast(occGaz.select(col("uri"), fold(col("label")).as("glabel"))
+  /** Generic fuzzy dictionary link: first-letter blocking (candidate
+    * space |docs| × |bucket| instead of a cross join), a similarity
+    * scorer — `jaro_winkler` (the reference's metric, linker.py:546-549)
+    * or normalized `levenshtein` (the other metric of the fuzzy
+    * dictionary-linking family) — threshold filter, top-1 per mention
+    * with a deterministic tiebreak. */
+  def linkFuzzyByLabel(triples: DataFrame, sourceProp: String, targetProp: String,
+                       gaz: DataFrame, threshold: Double,
+                       metric: String = "jaro_winkler"): DataFrame = {
+    val g = broadcast(gaz.select(col("uri"), fold(col("label")).as("glabel"))
       .withColumn("blk", substring(col("glabel"), 1, 1)))
-    val cand = literals(triples, NS.SCHEMA_POW + "occupation_literal")
+    def score(a: Column, b: Column) = metric match {
+      case "jaro_winkler" => Normalize.jaroWinkler(a, b)
+      case "levenshtein" => Normalize.levenshteinSim(a, b)
+      case m => throw new IllegalArgumentException(s"unknown fuzzy metric: $m")
+    }
+    val cand = literals(triples, sourceProp)
       .withColumn("flabel", fold(col("literal")))
       .withColumn("blk", substring(col("flabel"), 1, 1))
       .join(g, "blk")
-      .withColumn("score", Normalize.jaroWinkler(col("flabel"), col("glabel")))
+      .withColumn("score", score(col("flabel"), col("glabel")))
       .filter(col("score") >= threshold)
     val w = Window.partitionBy("subj", "literal").orderBy(col("score").desc, col("uri"))
     val hit = cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("subj"), col("literal"), col("docId"), col("uri"))
-    linkTriples(hit, NS.BIOC + "has_occupation")
+    linkTriples(hit, targetProp)
   }
+
+  /** J6: occupations — fuzzy Jaro-Winkler join at threshold 0.84
+    * (linker.py:546-549). */
+  def linkOccupations(triples: DataFrame, occGaz: DataFrame,
+                      threshold: Double = 0.84): DataFrame =
+    linkFuzzyByLabel(triples, NS.SCHEMA_POW + "occupation_literal",
+      NS.BIOC + "has_occupation", occGaz, threshold, "jaro_winkler")
 
   /** J7+J8: units — candidate generation by ≤5-gram windows over the
     * mention (arpa_services/warsa_actor_units: maxNGrams 5) plus exact

@@ -61,6 +61,19 @@ class LinkersSpec extends AnyFunSuite {
     assert(links.contains(NS.DATA + "p1"), "fuzzy match above 0.84 expected")
     assert(links(NS.DATA + "p2").endsWith("posteljooni"))
     assert(!links.contains(NS.DATA + "p3"))
+
+    // the levenshtein metric of the generic fuzzy linker: one edit over
+    // 11 chars ≈ 0.909 passes a 0.85 threshold; unrelated strings don't
+    val lev = Linkers.linkFuzzyByLabel(fixture, NS.SCHEMA_POW + "occupation_literal",
+        NS.BIOC + "has_occupation", Gazetteers.occupations(spark),
+        threshold = 0.85, metric = "levenshtein")
+      .select("subj", "objValue").as[(String, String)].collect().toMap
+    assert(lev.contains(NS.DATA + "p2"))
+    assert(!lev.contains(NS.DATA + "p3"))
+    assertThrows[IllegalArgumentException] {
+      Linkers.linkFuzzyByLabel(fixture, NS.SCHEMA_POW + "occupation_literal",
+        NS.BIOC + "has_occupation", Gazetteers.occupations(spark), 0.8, "soundex")
+    }
   }
 
   test("unit linking: n-gram candidates + covernumber + period preference (J7/J8)") {
