@@ -25,6 +25,13 @@ import graft.extract.{Extraction, SynthDocs}
   * deterministic computation); the scaling pair is re-measured up to 3
   * times keeping the best efficiency; all observed loads are recorded in
   * the JSON so a reader can adjudicate a suspicious number.
+  *
+  * Honest caveat of keep-the-best selection: besides removing one-sided
+  * co-tenant interference it also absorbs some genuine run-to-run
+  * variance, biasing the headline slightly upward near the 0.8 gate.
+  * That is why the FULL attempts array (every efficiency + its
+  * pre-attempt load) is embedded in the artifact — a reader who prefers
+  * the median can compute it from the same JSON.
   */
 object Bench {
 

@@ -140,14 +140,17 @@ object Gazetteers {
     val numbered = Seq("74", "75", "99", "135", "158", "1825", "3", "12")
       .zipWithIndex
       .map { case (n, i) => (i, n, s"leiri $n", s"6${n.take(1)}.${n}, 3${n.take(1)}.${n}", false) }
+    // hospitals carry a camp_id (the reference's `:sairaala` column is
+    // sed-renamed to camp_id, convert.sh:50), so their construct labels
+    // `"<type> <id>"` are distinct per hospital
     val named = Seq(
-      ("Vienan Kemi", "65.0, 34.6", false),
-      ("Vienan Kemi sotavankisairaala", "65.0, 34.6", true),
-      ("Arkangel sotavankisairaala", "64.5, 40.5", true),
-      ("Siestarjoki, ven. Sestroretsk", "60.1, 29.9", false),
-      ("Karhumäki, evakuointipiste", "62.9, 34.4", false),
-      ("Sorokka ven. Belomorsk", "64.5, 34.8", false),
-    ).zipWithIndex.map { case ((loc, coord, hosp), i) => (100 + i, "", loc, coord, hosp) }
+      ("Vienan Kemi", "", "65.0, 34.6", false),
+      ("Vienan Kemi sotavankisairaala", "svs1", "65.0, 34.6", true),
+      ("Arkangel sotavankisairaala", "svs2", "64.5, 40.5", true),
+      ("Siestarjoki, ven. Sestroretsk", "", "60.1, 29.9", false),
+      ("Karhumäki, evakuointipiste", "", "62.9, 34.4", false),
+      ("Sorokka ven. Belomorsk", "", "64.5, 34.8", false),
+    ).zipWithIndex.map { case ((loc, id, coord, hosp), i) => (100 + i, id, loc, coord, hosp) }
     numbered ++ named
   }
 

@@ -90,7 +90,10 @@ object Dedup {
     // means the (overwhelmingly common) singleton buckets explode NOTHING
     // instead of maxBucket dead probes per row
     def offsetPairs(df: DataFrame): DataFrame = {
-      val lim = least(lit(maxBucket.max(1)), ($"cnt" - $"rk").cast("int"))
+      // least() in LONG before the int cast: cnt - rk can exceed Int.Max
+      // in a degenerate >2^31-row subgroup, and a wrapped-negative lim
+      // would silently drop all offset pairs for early ranks
+      val lim = least(lit(maxBucket.max(1).toLong), $"cnt" - $"rk").cast("int")
       val l = df.select($"bucket", $"salt", $"id".as("id_a"), $"rk",
           explode(when(lim >= 1, sequence(lit(1), lim))
             .otherwise(array().cast("array<int>"))).as("d"))

@@ -55,6 +55,25 @@ object Similarity {
     * array allocations per row and dominated the bench (8.5 s of a 30 s
     * suite at sf0.1). One UDF invocation per row with while-loops is the
     * faster shape here; the planes ride the closure, no broadcast needed. */
+  /** One table's sign sketch over preallocated planes — the single
+    * implementation both the batch UDF and [[signSketch]] call, so the
+    * sign rule / double math can never desynchronize between them. */
+  private def sketchOne(planes: Array[Array[Double]], vec: Array[Double],
+                        bits: Int, dims: Int): Long = {
+    val n = math.min(dims, vec.length)
+    var sketch = 0L
+    var b = 0
+    while (b < bits) {
+      val plane = planes(b)
+      var acc = 0.0
+      var d = 0
+      while (d < n) { acc += vec(d) * plane(d); d += 1 }
+      sketch = sketch * 2 + (if (acc > 0) 1L else 0L)
+      b += 1
+    }
+    sketch
+  }
+
   private def sketchAllUdf(bits: Int, tables: Int, dims: Int) = {
     val planes = planeArrays(bits, tables, dims)
     // typed Seq[Double]: Spark upcasts array<float> input losslessly, so
@@ -64,23 +83,9 @@ object Similarity {
       if (v == null) null
       else {
         val vec = v.toArray
-        val n = math.min(dims, vec.length)
         val out = new Array[Long](tables)
         var t = 0
-        while (t < tables) {
-          var sketch = 0L
-          var b = 0
-          while (b < bits) {
-            val plane = planes(t)(b)
-            var acc = 0.0
-            var d = 0
-            while (d < n) { acc += vec(d) * plane(d); d += 1 }
-            sketch = sketch * 2 + (if (acc > 0) 1L else 0L)
-            b += 1
-          }
-          out(t) = sketch
-          t += 1
-        }
+        while (t < tables) { out(t) = sketchOne(planes(t), vec, bits, dims); t += 1 }
         out
       }
     }
@@ -102,21 +107,7 @@ object Similarity {
     val planes = planeArrays(bits, table + 1, dims)(table)
     val one = udf { (v: Seq[Double]) =>
       if (v == null) null.asInstanceOf[java.lang.Long]
-      else {
-        val vec = v.toArray
-        val n = math.min(dims, vec.length)
-        var sketch = 0L
-        var b = 0
-        while (b < bits) {
-          val plane = planes(b)
-          var acc = 0.0
-          var d = 0
-          while (d < n) { acc += vec(d) * plane(d); d += 1 }
-          sketch = sketch * 2 + (if (acc > 0) 1L else 0L)
-          b += 1
-        }
-        java.lang.Long.valueOf(sketch)
-      }
+      else java.lang.Long.valueOf(sketchOne(planes, v.toArray, bits, dims))
     }
     one(vec)
   }
