@@ -6,6 +6,20 @@ import graft.functions.{Converters, JaroWinklerExpression}
 
 class JaroWinklerExprSpec extends AnyFunSuite {
 
+  test("SQL surface: jaro_winkler + graft_slugify callable from spark.sql") {
+    val spark = SparkTestBase.spark
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT jaro_winkler('kapteeni', 'kapteni') AS jw, graft_slugify('Vienan Kemi') AS s")
+      .head()
+    assert(r.getDouble(0) > 0.9 && r.getDouble(0) <= 1.0)
+    assert(r.getString(1) == "vienan-kemi")
+    // native expression, not a ScalaUDF: the plan must NOT contain UDF for jw
+    val plan = spark.sql("SELECT jaro_winkler('a','b')").queryExecution.executedPlan.toString
+    assert(plan.contains("jaro_winkler") && !plan.toLowerCase.contains("scalaudf"),
+      s"expected native expression in plan:\n$plan")
+  }
+
   private lazy val spark = SparkTestBase.spark
   import spark.implicits._
 
