@@ -319,6 +319,19 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // ---- text analysis: corpus vocabulary top-k ---------------------------
+    "text_vocab_topk" -> ((s, d) => {
+      import s.implicits._
+      TextAnalysis.vocabulary(t(s, d, "documents"), "text", k = 100)
+    }),
+
+    // ---- text analysis: repetition signals (Gopher top-bigram fraction) ---
+    "text_repetition" -> ((s, d) => {
+      import s.implicits._
+      TextAnalysis.repetitionCounts(t(s, d, "documents"), "doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
     // ---- text analysis: winnowing fingerprint (hash-dependent) ------------
     "text_fingerprint" -> ((s, d) => {
       import s.implicits._
@@ -796,6 +809,29 @@ object SparkEntry {
         |       WHEN stops < 1 THEN 'no_stopwords'
         |       ELSE 'keep' END AS verdict
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_vocab_topk" ->
+      """SELECT token, n FROM (
+        |  SELECT u.token AS token, count(*) AS n
+        |  FROM documents,
+        |    UNNEST(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                       x -> x <> '')) AS u(token)
+        |  GROUP BY 1)
+        |ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                             x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+        |  FROM toks, UNNEST(generate_series(1, greatest(len(t) - 1, 1))) AS u(i)),
+        |per AS (
+        |  SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
+        |SELECT doc_id, max(c) AS top_gram_count,
+        |  CAST(sum(c) AS BIGINT) AS n_grams
+        |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_pii_scrub" ->
       """WITH aug AS (

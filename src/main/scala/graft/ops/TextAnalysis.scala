@@ -82,6 +82,36 @@ object TextAnalysis {
       .otherwise("und")
   }
 
+  /** Corpus vocabulary: lowercased whitespace tokens → (token, count),
+    * deterministic top-k (count desc, token asc). The word-count shape
+    * every corpus-stats pass needs; one explode + one partial-aggregated
+    * groupBy — the exchange carries (token, partial count), never rows. */
+  def vocabulary(df: DataFrame, textCol: String, k: Int = 100): DataFrame =
+    df.select(explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(k)
+
+  /** Non-distinct token bigrams (repetition signals need multiplicity;
+    * the dedup shingles are distinct by design). Shares the degenerate
+    * short-doc convention of [[graft.ops.Dedup.shingles]]: a doc with
+    * fewer tokens than the gram width yields one truncated gram. */
+  def bigrams(text: Column): Column = {
+    val toks = tokens(lower(text))
+    transform(sequence(lit(0), greatest(size(toks) - 2, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(2))))
+  }
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1 — public):
+    * per doc, the most-frequent bigram's count and the total bigram
+    * count, as exact integers (consumers compute the fraction; exact
+    * integers keep the SQL oracle hash-stable). A boilerplate doc has
+    * top_gram_count/n_grams near 1. */
+  def repetitionCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(bigrams(col(textCol))).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max(col("c")).as("top_gram_count"),
+        sum(col("c")).as("n_grams"))
+
   // -------------------------------------------------------------------
   // PII detection / scrubbing — the redaction pass every training-data
   // pipeline runs before release. Pure regexp expressions (codegen'd,

@@ -185,6 +185,25 @@ class OpsSpec extends AnyFunSuite {
     assert(runAnn(emb) == runAnn(emb.repartition(5)))
   }
 
+  test("vocabulary: deterministic top-k word counts") {
+    val vocab = TextAnalysis.vocabulary(docs, "text", k = 3)
+      .as[(String, Long)].collect()
+    assert(vocab.head == ("the", 6L), // 2 each in docs 1, 2, 3
+      s"'the' appears 6x in the fixture, got ${vocab.head}")
+    assert(vocab.map(_._2).sliding(2).forall(p => p.head >= p.last))
+  }
+
+  test("repetition: top-bigram count flags boilerplate") {
+    val cases = Seq(
+      (1L, "spam spam spam spam spam"),          // the bigram "spam spam" 4x
+      (2L, "all words here are different ones"), // all 5 bigrams unique
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.repetitionCounts(cases, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(1L) == (4L, 4L), s"got ${rows(1L)}")
+    assert(rows(2L) == (1L, 5L), s"got ${rows(2L)}")
+  }
+
   test("pii: detection counts and scrub placeholders") {
     val cases = Seq(
       (1L, "mail me at john.doe@example.com or visit https://example.org/x?q=1"),
