@@ -327,24 +327,13 @@ object Dedup {
   }
 }
 
-/** SimHash via a Catalyst-friendly split: per-token hash in expressions,
-  * bit aggregation in one scalar pass. */
+/** SimHash via a Catalyst-native split: per-token hash in expressions,
+  * bit-majority fold in a custom codegen expression
+  * ([[graft.functions.Simhash64Expression]]) — the whole signature stays
+  * inside whole-stage codegen, no ScalaUDF boundary in the hot path. */
 object Simhash {
-  import org.apache.spark.sql.functions.udf
-
-  private val agg = udf { (hashes: Seq[Long]) =>
-    val acc = new Array[Int](64)
-    hashes.foreach { h =>
-      var b = 0
-      while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
-    out
-  }
-
   /** tokens column -> 64-bit simhash (xxhash64 per token, majority bits). */
   def simhash64(tokensCol: Column): Column =
-    agg(transform(tokensCol, t => xxhash64(t)))
+    graft.functions.Simhash64Expression.simhash64(
+      transform(tokensCol, t => xxhash64(t)))
 }

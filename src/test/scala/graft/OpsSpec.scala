@@ -53,6 +53,17 @@ class OpsSpec extends AnyFunSuite {
     assert(exact.isDefined && exact.get._3 == 0)
   }
 
+  test("simhash64 is a native codegen expression (no ScalaUDF boundary)") {
+    // parquet source, not the local fixture — ConvertToLocalRelation would
+    // constant-fold a LocalRelation projection away before the check
+    val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(graft.ops.Simhash.simhash64(
+        graft.ops.TextAnalysis.tokens($"text")).as("sig"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("simhash64") && !plan.toLowerCase.contains("scalaudf"),
+      s"expected native simhash64 expression in plan:\n$plan")
+  }
+
   test("near-dup groups: pairs -> components -> canonical assignment + drop") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
     val groups = Dedup.nearDuplicateGroups(pairs)
