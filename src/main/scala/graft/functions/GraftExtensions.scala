@@ -23,6 +23,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.jaroWinklerDescriptor)
+    ext.injectFunction(GraftFunctions.simhash64Descriptor)
   }
 }
 
@@ -38,10 +39,22 @@ object GraftFunctions {
       JaroWinklerExpression(children.head, children(1))
     })
 
+  private[functions] val simhash64Descriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash64"),
+    new ExpressionInfo(classOf[Simhash64Expression].getName, "simhash64"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        s"simhash64 expects 1 argument (array<bigint>), got ${children.size}")
+      Simhash64Expression(children.head)
+    })
+
   /** Register everything on an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = jaroWinklerDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    Seq(jaroWinklerDescriptor, simhash64Descriptor).foreach {
+      case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
     spark.udf.register("graft_slugify", Converters.slugify _)
   }
 }

@@ -14,6 +14,11 @@ class JaroWinklerExprSpec extends AnyFunSuite {
       .head()
     assert(r.getDouble(0) > 0.9 && r.getDouble(0) <= 1.0)
     assert(r.getString(1) == "vienan-kemi")
+    // simhash64 over an array<bigint> literal: identical inputs agree
+    val sh = spark.sql(
+      "SELECT simhash64(array(xxhash64('a'), xxhash64('b'))) = " +
+        "simhash64(array(xxhash64('a'), xxhash64('b'))) AS eq").head()
+    assert(sh.getBoolean(0))
     // native expression, not a ScalaUDF: the plan must NOT contain UDF for jw
     val plan = spark.sql("SELECT jaro_winkler('a','b')").queryExecution.executedPlan.toString
     assert(plan.contains("jaro_winkler") && !plan.toLowerCase.contains("scalaudf"),
