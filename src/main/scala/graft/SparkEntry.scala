@@ -210,6 +210,27 @@ object SparkEntry {
         .orderBy($"event_id")
     }),
 
+    // ---- as-of join: events against their latest hourly snapshot ----------
+    // (the temporal-dimension lookup Spark lacks as a built-in; implemented
+    // as ONE union+window pass — ops.AsOfJoin — and checked hash-exact
+    // against DuckDB's native ASOF JOIN)
+    "asof_join_snapshots" -> ((s, d) => {
+      import s.implicits._
+      val events = t(s, d, "events").select($"event_id", $"user_id", $"ts")
+      val w = Window.partitionBy($"user_id", $"snap_ts").orderBy($"ts", $"event_id")
+      val snaps = t(s, d, "events")
+        .withColumn("snap_ts", date_trunc("hour", $"ts"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"snap_ts", cents($"value").as("snap_value_cents"))
+      graft.ops.AsOfJoin.asOf(events, snaps, Seq("user_id"), "ts", "snap_ts",
+          Seq("snap_ts", "snap_value_cents"))
+        .select($"event_id",
+          date_format($"snap_ts", "yyyy-MM-dd HH").as("snap_hour"),
+          $"snap_value_cents")
+        .orderBy($"event_id")
+    }),
+
     // ---- streaming-shape: tumbling-window aggregation over events ---------
     "events_tumbling_window" -> ((s, d) => {
       import s.implicits._
@@ -612,6 +633,20 @@ object SparkEntry {
         |       WHEN regexp_matches(props, '"k": 1') THEN 'special'
         |       ELSE 'continuationwar' END AS period
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "asof_join_snapshots" ->
+      """WITH snaps AS (
+        |  SELECT user_id, snap_ts, snap_value_cents FROM (
+        |    SELECT user_id, date_trunc('hour', ts) AS snap_ts,
+        |           CAST(round(value * 100) AS BIGINT) AS snap_value_cents,
+        |           row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |                              ORDER BY ts, event_id) AS rn
+        |    FROM events) WHERE rn = 1)
+        |SELECT e.event_id, strftime(s.snap_ts, '%Y-%m-%d %H') AS snap_hour,
+        |       s.snap_value_cents
+        |FROM events e ASOF JOIN snaps s
+        |  ON e.user_id = s.user_id AND e.ts >= s.snap_ts
+        |ORDER BY e.event_id""".stripMargin,
 
     "events_tumbling_window" ->
       """SELECT user_id, strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H') AS h,

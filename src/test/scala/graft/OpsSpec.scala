@@ -196,6 +196,37 @@ class OpsSpec extends AnyFunSuite {
     assert(runAnn(emb) == runAnn(emb.repartition(5)))
   }
 
+  test("as-of join: latest right row at or before each left ts, per key") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val dim = Seq(
+      (1L, ts("2026-01-01 10:00:00"), "a"),
+      (1L, ts("2026-01-01 11:00:00"), "b"),
+      (3L, ts("2026-01-01 09:00:00"), "z"),
+    ).toDF("k", "dim_ts", "v")
+    val events = Seq(
+      (100L, 1L, ts("2026-01-01 09:30:00")), // before any dim -> null
+      (101L, 1L, ts("2026-01-01 10:00:00")), // exactly at dim -> inclusive "a"
+      (102L, 1L, ts("2026-01-01 10:59:00")), // between -> "a"
+      (103L, 1L, ts("2026-01-01 12:00:00")), // after both -> "b"
+      (104L, 2L, ts("2026-01-01 10:00:00")), // key with no dim -> null
+    ).toDF("event_id", "k", "ets")
+    val got = graft.ops.AsOfJoin.asOf(events, dim, Seq("k"), "ets", "dim_ts", Seq("v"))
+      .select("event_id", "v").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(100L).isEmpty)
+    assert(got(101L).contains("a"), s"inclusive as-of expected, got ${got(101L)}")
+    assert(got(102L).contains("a"))
+    assert(got(103L).contains("b"))
+    assert(got(104L).isEmpty)
+    // deterministic under repartition
+    val again = graft.ops.AsOfJoin.asOf(events.repartition(3), dim.repartition(2),
+        Seq("k"), "ets", "dim_ts", Seq("v"))
+      .select("event_id", "v").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(again == got)
+  }
+
   test("vocabulary: deterministic top-k word counts") {
     val vocab = TextAnalysis.vocabulary(docs, "text", k = 3)
       .as[(String, Long)].collect()
