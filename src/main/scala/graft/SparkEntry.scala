@@ -231,6 +231,20 @@ object SparkEntry {
         .orderBy($"event_id")
     }),
 
+    // ---- sessionization: gap-based sessions over events (batch face of
+    // the streaming flatMapGroupsWithState sessionizer) --------------------
+    "events_sessionize" -> ((s, d) => {
+      import s.implicits._
+      graft.ops.Sessions.sessionize(
+          t(s, d, "events").select($"user_id", $"ts", $"value"), "user_id", "ts")
+        .groupBy($"user_id", $"session_seq")
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min($"ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(max($"ts"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          sum(cents($"value")).as("value_cents"))
+        .orderBy($"user_id", $"session_seq")
+    }),
+
     // ---- streaming-shape: tumbling-window aggregation over events ---------
     "events_tumbling_window" -> ((s, d) => {
       import s.implicits._
@@ -647,6 +661,23 @@ object SparkEntry {
         |FROM events e ASOF JOIN snaps s
         |  ON e.user_id = s.user_id AND e.ts >= s.snap_ts
         |ORDER BY e.event_id""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM marked)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM sessions GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin,
 
     "events_tumbling_window" ->
       """SELECT user_id, strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H') AS h,

@@ -227,6 +227,27 @@ class OpsSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("sessionize: gap rule, per-user numbering, repartition-stable") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2026-01-01 10:00:00")), (1L, ts("2026-01-01 10:10:00")), // session 1
+      (1L, ts("2026-01-01 11:30:00")),                                  // gap > 30min -> 2
+      (2L, ts("2026-01-01 09:00:00")),                                  // other user -> 1
+    ).toDF("user_id", "ts")
+    val got = graft.ops.Sessions.sessionize(events, "user_id", "ts")
+      .select("user_id", "ts", "session_seq").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString) -> r.getLong(2)).toMap
+    assert(got((1L, "2026-01-01 10:00:00.0")) == 1L)
+    assert(got((1L, "2026-01-01 10:10:00.0")) == 1L)
+    assert(got((1L, "2026-01-01 11:30:00.0")) == 2L)
+    assert(got((2L, "2026-01-01 09:00:00.0")) == 1L)
+    val again = graft.ops.Sessions.sessionize(events.repartition(3), "user_id", "ts")
+      .select("user_id", "ts", "session_seq").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString) -> r.getLong(2)).toMap
+    assert(again == got)
+  }
+
   test("vocabulary: deterministic top-k word counts") {
     val vocab = TextAnalysis.vocabulary(docs, "text", k = 3)
       .as[(String, Long)].collect()
