@@ -231,6 +231,24 @@ object SparkEntry {
         .orderBy($"event_id")
     }),
 
+    // ---- range join: events against per-day validity intervals -----------
+    // (bucketized interval join — ops.RangeJoin — equi-join on
+    // (key, bucket) + exact containment, no hot-key quadratic post-filter)
+    "range_join_intervals" -> ((s, d) => {
+      import s.implicits._
+      val events = t(s, d, "events").select($"event_id", $"user_id", $"ts")
+      val intervals = t(s, d, "events")
+        .select($"user_id", date_trunc("day", $"ts").as("day")).distinct()
+        .select($"user_id",
+          ($"day" + expr("INTERVAL 2 HOURS")).as("valid_from"),
+          ($"day" + expr("INTERVAL 20 HOURS")).as("valid_to"),
+          date_format($"day", "yyyy-MM-dd").as("day_key"))
+      graft.ops.RangeJoin.intervalJoin(events, intervals, Seq("user_id"),
+          "ts", "valid_from", "valid_to")
+        .select($"event_id", $"day_key")
+        .orderBy($"event_id", $"day_key")
+    }),
+
     // ---- sessionization: gap-based sessions over events (batch face of
     // the streaming flatMapGroupsWithState sessionizer) --------------------
     "events_sessionize" -> ((s, d) => {
@@ -661,6 +679,20 @@ object SparkEntry {
         |FROM events e ASOF JOIN snaps s
         |  ON e.user_id = s.user_id AND e.ts >= s.snap_ts
         |ORDER BY e.event_id""".stripMargin,
+
+    "range_join_intervals" ->
+      """WITH intervals AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |iv AS (
+        |  SELECT user_id, day + INTERVAL 2 HOUR AS valid_from,
+        |         day + INTERVAL 20 HOUR AS valid_to,
+        |         strftime(day, '%Y-%m-%d') AS day_key
+        |  FROM intervals)
+        |SELECT e.event_id, i.day_key
+        |FROM events e JOIN iv i
+        |  ON e.user_id = i.user_id
+        | AND e.ts >= i.valid_from AND e.ts < i.valid_to
+        |ORDER BY e.event_id, i.day_key""".stripMargin,
 
     "events_sessionize" ->
       """WITH marked AS (

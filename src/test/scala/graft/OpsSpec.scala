@@ -227,6 +227,30 @@ class OpsSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("range join: containment semantics incl. bucket-spanning intervals") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val intervals = Seq(
+      (1L, ts("2026-01-01 02:00:00"), ts("2026-01-01 20:00:00"), "day1"),
+      // interval spanning MANY buckets (bucketSeconds default 6h)
+      (1L, ts("2026-01-02 00:00:00"), ts("2026-01-04 00:00:00"), "long"),
+      (2L, ts("2026-01-01 00:00:00"), ts("2026-01-01 00:00:00"), "empty"),
+    ).toDF("k", "s", "e", "tag")
+    val events = Seq(
+      (10L, 1L, ts("2026-01-01 01:00:00")),  // before day1 -> no match
+      (11L, 1L, ts("2026-01-01 02:00:00")),  // inclusive start -> day1
+      (12L, 1L, ts("2026-01-01 19:59:59")),  // inside -> day1
+      (13L, 1L, ts("2026-01-01 20:00:00")),  // exclusive end -> no match
+      (14L, 1L, ts("2026-01-03 11:00:00")),  // middle bucket of "long"
+      (15L, 2L, ts("2026-01-01 00:00:00")),  // empty interval -> no match
+    ).toDF("event_id", "k", "ets")
+    val got = graft.ops.RangeJoin.intervalJoin(events, intervals, Seq("k"),
+        "ets", "s", "e")
+      .select("event_id", "tag").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(got == Set(11L -> "day1", 12L -> "day1", 14L -> "long"), got.toString)
+  }
+
   test("sessionize: gap rule, per-user numbering, repartition-stable") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
