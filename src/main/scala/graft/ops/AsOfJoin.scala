@@ -27,7 +27,11 @@ import org.apache.spark.sql.functions._
   *  - right should be unique per (key, ts) — dedupe upstream; otherwise
   *    an arbitrary co-timestamped right row wins;
   *  - left rows with no right row at or before them emit null payloads
-  *    (left-outer semantics; filter afterwards for inner).
+  *    (left-outer semantics; filter afterwards for inner);
+  *  - column-name contract: left and right column names must be disjoint
+  *    apart from `keys` (right's non-key non-payload columns are ignored);
+  *    a null `leftTs` row sorts before every right row and gets null
+  *    payloads.
   */
 object AsOfJoin {
 

@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions._
   * bucket); each interval replicates ceil(width / bucketSeconds) + 1
   * times, so pick `bucketSeconds` near the typical interval width.
   * No result dedup is needed: an event joins only its own bucket, and
-  * each (event, interval) pair co-occurs in exactly that one bucket. */
+  * each (event, interval) pair co-occurs in exactly that one bucket.
+  * Column-name contract: left and right column names must be disjoint
+  * apart from `keys` (the result carries both sides' columns). */
 object RangeJoin {
 
   def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
