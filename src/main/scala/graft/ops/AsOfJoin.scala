@@ -45,7 +45,10 @@ object AsOfJoin {
       .withColumn("__pay", lit(null).cast(
         org.apache.spark.sql.types.StructType(payloads.map(right.schema(_)))))
 
+    // a null right timestamp matches NOTHING (it would otherwise sort
+    // nulls-first and poison the whole key partition via last(ignoreNulls))
     var r = right
+      .filter(col(rightTs).isNotNull)
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
       .withColumn("__pay", struct(payloads.map(col): _*))

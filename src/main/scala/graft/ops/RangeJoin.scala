@@ -26,12 +26,15 @@ object RangeJoin {
   def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTs: String, startCol: String, endCol: String,
                    bucketSeconds: Long = 21600L): DataFrame = {
-    val l = left.withColumn("__b",
-      floor(unix_timestamp(col(leftTs)) / bucketSeconds))
+    // bucket math in MICROSECONDS (Spark timestamp precision): second
+    // truncation would mis-bucket sub-second boundaries — an interval
+    // ending at 10:00:00.5 must still replicate into the 10:00 bucket
+    val w = bucketSeconds * 1000000L
+    val l = left.withColumn("__b", floor(unix_micros(col(leftTs).cast("timestamp")) / w))
     val r = right
       .filter(col(endCol) > col(startCol)) // empty intervals match nothing
-      .withColumn("__bs", floor(unix_timestamp(col(startCol)) / bucketSeconds))
-      .withColumn("__be", floor((unix_timestamp(col(endCol)) - 1) / bucketSeconds))
+      .withColumn("__bs", floor(unix_micros(col(startCol).cast("timestamp")) / w))
+      .withColumn("__be", floor((unix_micros(col(endCol).cast("timestamp")) - 1) / w))
       .withColumn("__b", explode(sequence(col("__bs"), col("__be"))))
       .drop("__bs", "__be")
     l.join(r, keys :+ "__b")

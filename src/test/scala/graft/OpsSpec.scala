@@ -225,6 +225,14 @@ class OpsSpec extends AnyFunSuite {
       .select("event_id", "v").collect()
       .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
     assert(again == got)
+
+    // a null right timestamp must match nothing (not poison the partition)
+    val nullDim = dim.unionByName(Seq((1L, null.asInstanceOf[Timestamp], "poison"))
+      .toDF("k", "dim_ts", "v"))
+    val guarded = graft.ops.AsOfJoin.asOf(events, nullDim, Seq("k"), "ets", "dim_ts", Seq("v"))
+      .select("event_id", "v").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(guarded == got, s"null right ts changed results: $guarded")
   }
 
   test("range join: containment semantics incl. bucket-spanning intervals") {
@@ -249,6 +257,18 @@ class OpsSpec extends AnyFunSuite {
       .select("event_id", "tag").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toSet
     assert(got == Set(11L -> "day1", 12L -> "day1", 14L -> "long"), got.toString)
+
+    // sub-second precision: an interval ending at a bucket boundary +0.5s
+    // must still match an event inside that boundary bucket (second
+    // truncation dropped this case)
+    val subIv = Seq((9L, ts("2026-01-01 09:30:00"),
+      Timestamp.valueOf("2026-01-01 10:00:00.500"), "sub")).toDF("k", "s", "e", "tag")
+    val subEv = Seq((20L, 9L, Timestamp.valueOf("2026-01-01 10:00:00.200")))
+      .toDF("event_id", "k", "ets")
+    val sub = graft.ops.RangeJoin.intervalJoin(subEv, subIv, Seq("k"),
+        "ets", "s", "e", bucketSeconds = 3600L)
+      .select("event_id").collect()
+    assert(sub.length == 1, "sub-second interval end must not lose its last bucket")
   }
 
   test("sessionize: gap rule, per-user numbering, repartition-stable") {
@@ -270,6 +290,17 @@ class OpsSpec extends AnyFunSuite {
       .select("user_id", "ts", "session_seq").collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).toString) -> r.getLong(2)).toMap
     assert(again == got)
+
+    // sub-second gap: 1800.05 s > gap must split (second truncation said
+    // 1800 and kept one session, diverging from the streaming sessionizer)
+    val subEvents = Seq(
+      (5L, Timestamp.valueOf("2026-01-01 10:00:00.900")),
+      (5L, Timestamp.valueOf("2026-01-01 10:30:00.950")),
+    ).toDF("user_id", "ts")
+    val subSeq = graft.ops.Sessions.sessionize(subEvents, "user_id", "ts")
+      .select("session_seq").as[Long].collect().sorted
+    assert(subSeq.sameElements(Array(1L, 2L)),
+      s"1800.05s gap must start a new session, got ${subSeq.mkString(",")}")
   }
 
   test("vocabulary: deterministic top-k word counts") {
