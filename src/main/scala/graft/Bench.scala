@@ -26,12 +26,14 @@ import graft.extract.{Extraction, SynthDocs}
   * times keeping the best efficiency; all observed loads are recorded in
   * the JSON so a reader can adjudicate a suspicious number.
   *
-  * Honest caveat of keep-the-best selection: besides removing one-sided
-  * co-tenant interference it also absorbs some genuine run-to-run
-  * variance, biasing the headline slightly upward near the 0.8 gate.
-  * That is why the FULL attempts array (every efficiency + its
-  * pre-attempt load) is embedded in the artifact — a reader who prefers
-  * the median can compute it from the same JSON.
+  * The HEADLINE `efficiency` is the MEDIAN of the attempts whose
+  * pre-attempt load was under the threshold (an objectively-loaded
+  * attempt is excluded from the median but stays in the artifact);
+  * `efficiency_best` and the full attempts array (every efficiency + its
+  * pre-attempt load) are embedded so a reader can adjudicate any number.
+  * Keep-the-best was round 3's headline rule — it removed one-sided
+  * co-tenant interference but also absorbed genuine variance, biasing the
+  * gated number upward near 0.8 (round-3 verdict #8), hence the median.
   */
 object Bench {
 
@@ -148,14 +150,23 @@ object Bench {
       val (tp4N, _) = throughputAt(32)
       Attempt(tpN, tp4N, docs, tp4N / (4.0 * tpN), lb)
     }
-    // up to 3 attempts, keep the BEST pair: sub-linear readings on this
-    // shared host are overwhelmingly co-tenant interference (adjudicated in
-    // round 2: driver artifact 0.690 vs judge solo re-run 1.013)
+    // up to 3 attempts. HEADLINE = the MEDIAN of load-eligible attempts
+    // (round-3 verdict #8 / advice: keep-the-best biases the gated number
+    // upward near 0.8). An attempt is load-INELIGIBLE — discarded from the
+    // median, never from the artifact — only when its recorded pre-attempt
+    // load actually exceeded the threshold (the one objective sign of
+    // co-tenant interference); if every attempt was loaded, the median is
+    // over all of them. `best` stays in the JSON as an auxiliary field.
     val attempts = scala.collection.mutable.ArrayBuffer(measurePair())
     while (attempts.last.eff < 0.85 && attempts.size < 3) {
       Thread.sleep(10000)
       attempts += measurePair()
     }
+    val eligible = {
+      val quiet = attempts.filter(_.loadBefore <= loadThreshold)
+      if (quiet.nonEmpty) quiet else attempts
+    }
+    val median = eligible.sortBy(_.eff).apply((eligible.size - 1) / 2)
     val best = attempts.maxBy(_.eff)
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
@@ -164,6 +175,6 @@ object Bench {
       f"""{"efficiency":${a.eff}%.3f,"docs_per_sec_n":${a.tpN}%.1f,"docs_per_sec_4n":${a.tp4N}%.1f,"load_before":${a.loadBefore}%.2f}""")
       .mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load":{"queries_before":$loadBeforeQueries%.2f,"queries_after":$loadAfterQueries%.2f,"threshold":$loadThreshold%.1f},"scaling":{"cores_n":8,"cores_4n":32,"docs":${best.docs},"docs_per_sec_n":${best.tpN}%.1f,"docs_per_sec_4n":${best.tp4N}%.1f,"efficiency":${best.eff}%.3f,"attempts":$attemptsJson}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","load":{"queries_before":$loadBeforeQueries%.2f,"queries_after":$loadAfterQueries%.2f,"threshold":$loadThreshold%.1f},"scaling":{"cores_n":8,"cores_4n":32,"docs":${median.docs},"docs_per_sec_n":${median.tpN}%.1f,"docs_per_sec_4n":${median.tp4N}%.1f,"efficiency":${median.eff}%.3f,"efficiency_rule":"median of attempts with load_before<=threshold","efficiency_best":${best.eff}%.3f,"attempts":$attemptsJson}}""")
   }
 }

@@ -54,5 +54,9 @@ object ScalingBench {
     // and would bias whichever level runs second); median also recorded
     println(f"[scaling] cores=$cores docs=$docs median_sec=${times.head}%.2f observed_median=${times(1)}%.2f")
     spark.stop()
+    // the materialized input is ~1.2 GB per run — leaking it filled the
+    // shared disk to 97% over a few rounds and failed scaling runs with
+    // parquet write errors; always clean up
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(inputDir))
   }
 }

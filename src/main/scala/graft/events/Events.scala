@@ -250,12 +250,15 @@ object Events {
     *  - the additional_information fallback fires only when the record has
     *    NO capture literal at all (in the reference, `?date` is already
     *    bound to the capture value, so the info OPTIONALs can't join),
-    *    again winter-first per value;
+    *    winter-first at the RECORD level: any winter-matching info value
+    *    binds ?war on every surviving solution row, so continuation
+    *    matches on sibling values never emit;
     *  - winter_war_collection fills only rows where no earlier OPTIONAL
-    *    bound `?war` — PER VALUE: an unparseable capture value matching no
-    *    regex, an info value matching no regex (even when a sibling value
-    *    matched — the reference emits both the sibling's war AND
-    *    WinterWar), or a no-capture record with no info values at all. */
+    *    bound `?war`: an unparseable capture value matching no regex
+    *    (per VALUE — those rows carry their own ?date), or a no-capture
+    *    record where NO info value matched either regex (non-matching
+    *    info values produce no solution rows of their own — the FILTER
+    *    inside the OPTIONAL removes them). */
   def relatedPeriods(triples: DataFrame): DataFrame = {
     val spark = triples.sparkSession
     import spark.implicits._
@@ -287,25 +290,44 @@ object Events {
       .join(wwcSubjects, Seq("subj"), "left_semi")
       .select($"subj", lit(CONFLICTS + "WinterWar").as("war"))
 
-    // block 2, rows with NO capture literal: info fallback, winter-first
+    // block 2, rows with NO capture literal: info fallback with
+    // RECORD-level winter precedence. SPARQL algebra (period.sparql:35-48):
+    // the left side entering the info OPTIONALs is ONE solution row per
+    // no-capture subject with ?date/?war unbound, so
+    //  - the winter-info OPTIONAL's group keeps only regex-MATCHING info
+    //    values (the FILTER is inside the OPTIONAL — a non-matching
+    //    sibling value never yields a solution row); if any match, the
+    //    single left row expands to one row PER matching value, each with
+    //    ?war=WinterWar bound;
+    //  - the continuation-info OPTIONAL then finds ?war already bound on
+    //    every row (incompatible with its ContinuationWar BIND), so it can
+    //    fire only when NO info value matched winter;
+    //  - the wwc OPTIONAL fires only when NO info value matched either
+    //    regex (or the subject has no info triples at all) — never on a
+    //    "sibling row" of a match, because non-matching values produce no
+    //    rows.
+    // (Round 3 had a per-VALUE wwc here — a record with info values
+    // "palasi 1944" + "ei tietoa" + wwc wrongly gained WinterWar; Jena
+    // emits only ContinuationWar. Round-4 advice item, reverted.)
     val noCapture = persons.select($"subj")
       .join(capture.select($"subj").distinct(), Seq("subj"), "left_anti")
-    val infoWar = triples.filter($"pred" === (NS.SCHEMA_POW + "additional_information"))
+    val infoClass = triples.filter($"pred" === (NS.SCHEMA_POW + "additional_information"))
       .join(noCapture, Seq("subj"), "left_semi")
+      .groupBy($"subj")
+      .agg(
+        max(when($"objValue".rlike("19(39|40)"), 1).otherwise(0)).as("has_w"),
+        max(when($"objValue".rlike("194[12345]"), 1).otherwise(0)).as("has_c"))
+    val infoResolved = infoClass
       .select($"subj",
-        when($"objValue".rlike("19(39|40)"), lit(CONFLICTS + "WinterWar"))
-          .when($"objValue".rlike("194[12345]"), lit(CONFLICTS + "ContinuationWar"))
+        when($"has_w" === 1, lit(CONFLICTS + "WinterWar"))
+          .when($"has_c" === 1, lit(CONFLICTS + "ContinuationWar"))
           .as("war"))
-    val infoResolved = infoWar.filter($"war".isNotNull)
-    // per-VALUE wwc: the reference's wwc OPTIONAL fires on each solution
-    // ROW whose ?war is still unbound — an info value matching no regex
-    // (even when a SIBLING value matched and already emitted its war), or
-    // a no-capture record with no additional_information triples at all
-    val infoUnbound = infoWar.filter($"war".isNull).select($"subj")
+      .filter($"war".isNotNull)
+    val infoUnbound = infoClass.filter($"has_w" === 0 && $"has_c" === 0).select($"subj")
       .unionByName(noCapture
-        .join(infoWar.select($"subj").distinct(), Seq("subj"), "left_anti")
+        .join(infoClass.select($"subj"), Seq("subj"), "left_anti")
         .select($"subj"))
-    val noCaptureWwc = infoUnbound.distinct()
+    val noCaptureWwc = infoUnbound
       .join(wwcSubjects, Seq("subj"), "left_semi")
       .select($"subj", lit(CONFLICTS + "WinterWar").as("war"))
 

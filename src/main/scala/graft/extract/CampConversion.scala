@@ -46,19 +46,23 @@ object CampConversion {
   }
 
   /** The camp CONSTRUCT (sparql/construct_camps.sparql, run
-    * process.sh:23): pass through every triple of a PowCamp/PowHospital
-    * subject (minus the reference's worksheet-noise predicates), and add
-    *  - skos:prefLabel@fi — the camp's captivity_location, or for
-    *    hospitals `CONCAT(type, " ", camp_id)` with the reference's
-    *    IF(BOUND(...)) space rule (construct_camps.sparql:19-29);
-    *  - wgs84 lat/long split from the `coordinates` literal
-    *    (construct_camps.sparql:31-34 regexes, incl. the `\d\d\.\d+`
-    *    two-digit constraint).
+    * process.sh:23), branch-faithful to the SPARQL:
+    *  - CAMP branch (construct_camps.sparql:15-21): a camp's `?p ?o`
+    *    triples emit ONLY when the camp has a `captivity_location` (it is
+    *    a required pattern, not an OPTIONAL — a camp without one emits
+    *    nothing at all); the `huomautuksia-…` worksheet predicate is
+    *    filtered in THIS branch only; one skos:prefLabel@fi per literal
+    *    captivity_location VALUE (STRLANG of an IRI errors to unbound, so
+    *    IRI values produce no label);
+    *  - HOSPITAL branch (:23-30): `poistettava-tyosarake` filtered in
+    *    this branch only; one label per (hospital_type, camp_id) OPTIONAL
+    *    combination with the IF(BOUND) space rule;
+    *  - coordinates OPTIONAL (:32-36): wgs84 lat/long via REPLACE — a
+    *    non-matching literal passes through RAW (SPARQL REPLACE returns
+    *    its input unchanged when the pattern misses), so the mirror uses
+    *    regexp_replace with NO match filter.
     * All joins are against the (tiny) camp-subject set → broadcast. */
-  def constructCamps(triples: DataFrame,
-                     blacklist: Seq[String] = Seq(
-                       NS.SCHEMA_POW + "huomautuksia-poistetaan-kun-asiat-on-kayty-lapi",
-                       NS.SCHEMA_POW + "poistettava-tyosarake")): DataFrame = {
+  def constructCamps(triples: DataFrame): DataFrame = {
     val spark = triples.sparkSession
     import spark.implicits._
     val wgs = "http://www.w3.org/2003/01/geo/wgs84_pos#"
@@ -66,45 +70,54 @@ object CampConversion {
     def subjectsOf(cls: String) = triples
       .filter($"pred" === NS.RDF_TYPE && $"objValue" === (NS.SCHEMA_WARSA + cls))
       .select($"subj").distinct()
-    val campSubj = subjectsOf("PowCamp")
-    val hospSubj = subjectsOf("PowHospital")
-    val allSubj = broadcast(campSubj.unionByName(hospSubj).distinct())
+    val campLoc = triples
+      .filter($"pred" === (NS.SCHEMA_POW + "captivity_location"))
+    // required pattern: camps WITHOUT a captivity_location emit nothing
+    val campSubj = broadcast(subjectsOf("PowCamp")
+      .join(campLoc.select($"subj").distinct(), Seq("subj"), "left_semi"))
+    val hospSubj = broadcast(subjectsOf("PowHospital"))
+    val branchSubj = broadcast(campSubj.unionByName(hospSubj).distinct())
 
-    val own = triples.join(allSubj, Seq("subj"), "left_semi")
-      .filter(!$"pred".isin(blacklist: _*))
+    val campOwn = triples.join(campSubj, Seq("subj"), "left_semi")
+      .filter($"pred" =!= (NS.SCHEMA_POW + "huomautuksia-poistetaan-kun-asiat-on-kayty-lapi"))
+    val hospOwn = triples.join(hospSubj, Seq("subj"), "left_semi")
+      .filter($"pred" =!= (NS.SCHEMA_POW + "poistettava-tyosarake"))
 
     def labelRow(df: DataFrame) = df.select($"subj",
       lit(NS.SKOS_PREF_LABEL).as("pred"), $"label".as("objValue"),
       lit(false).as("objIsUri"), lit("fi").as("objLang"),
       lit(null).cast("string").as("objDatatype"), lit("").as("docId"))
 
-    val campLabels = labelRow(triples
-      .filter($"pred" === (NS.SCHEMA_POW + "captivity_location") && !$"objIsUri")
-      .join(broadcast(campSubj), Seq("subj"), "left_semi")
-      .groupBy($"subj").agg(min($"objValue").as("label")))
+    // one label per captivity_location VALUE (per-solution BIND)
+    val campLabels = labelRow(campLoc.filter(!$"objIsUri")
+      .join(campSubj, Seq("subj"), "left_semi")
+      .select($"subj", $"objValue".as("label")).distinct())
 
+    // one label per OPTIONAL (type, camp_id) combination
     val hospLabels = labelRow(hospSubj
       .join(triples.filter($"pred" === (NS.SCHEMA_POW + "hospital_type"))
-        .groupBy($"subj").agg(min($"objValue").as("htype")), Seq("subj"), "left")
+        .select($"subj", $"objValue".as("htype")), Seq("subj"), "left")
       .join(triples.filter($"pred" === (NS.SCHEMA_POW + "camp_id"))
-        .groupBy($"subj").agg(min($"objValue").as("cid")), Seq("subj"), "left")
+        .select($"subj", $"objValue".as("cid")), Seq("subj"), "left")
       .select($"subj", concat(
         coalesce($"htype", lit("")),
         when($"htype".isNotNull, lit(" ")).otherwise(lit("")),
-        coalesce($"cid", lit(""))).as("label")))
+        coalesce($"cid", lit(""))).as("label")).distinct())
 
+    // REPLACE semantics: no filter — a coord literal that misses the
+    // regex passes through unchanged, exactly like the reference
     val coords = triples.filter($"pred" === (NS.SCHEMA_POW + "coordinates"))
-      .join(allSubj, Seq("subj"), "left_semi")
+      .join(branchSubj, Seq("subj"), "left_semi")
       .select($"subj",
-        regexp_extract($"objValue", "(\\d\\d\\.\\d+),.*", 1).as("lat"),
-        regexp_extract($"objValue", ".*,\\W*(\\d\\d\\.\\d+)$", 1).as("long"))
-      .filter($"lat" =!= "" && $"long" =!= "")
+        regexp_replace($"objValue", "(\\d\\d\\.\\d+),.*", "$1").as("lat"),
+        regexp_replace($"objValue", ".*,\\W*(\\d\\d\\.\\d+)$", "$1").as("long"))
     def coordRow(pred: String, c: Column) = coords.select($"subj",
       lit(wgs + pred).as("pred"), c.as("objValue"), lit(false).as("objIsUri"),
       lit(null).cast("string").as("objLang"),
       lit(null).cast("string").as("objDatatype"), lit("").as("docId"))
 
-    own.unionByName(campLabels).unionByName(hospLabels)
+    campOwn.unionByName(hospOwn)
+      .unionByName(campLabels).unionByName(hospLabels)
       .unionByName(coordRow("lat", $"lat")).unionByName(coordRow("long", $"long"))
       .dropDuplicates("subj", "pred", "objValue", "objIsUri", "objLang", "objDatatype")
   }

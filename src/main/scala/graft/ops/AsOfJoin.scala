@@ -35,6 +35,12 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** HOT-KEY CONTRACT: this form partitions its one window by `keys`
+    * alone, so a single key holding a large fraction of the table
+    * serializes that key's sort into one task. Correct at any size, fine
+    * when keys are well-distributed; for skewed keys at scale use
+    * [[asOfBucketed]], which bounds every task by (key, time-bucket) and
+    * is output-identical (equivalence spec in OpsSpec). */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String, payloads: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
@@ -67,6 +73,95 @@ object AsOfJoin {
       .unionByName(r.select((leftCols :+ "__ts" :+ "__side" :+ "__pay").map(col): _*))
 
     unioned
+      .withColumn("__pay", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ payloads.map(p => col(s"__pay.$p").as(p)): _*)
+  }
+
+  /** Skew-safe as-of join — output-identical to [[asOf]] (same contract,
+    * same tie rules), but every window partitions by (key, TIME BUCKET)
+    * instead of the key alone, so one hot key (a user holding 10% of a
+    * 100 TB event table) is split across its time range instead of
+    * serializing into a single task. Three-step two-pass shape:
+    *
+    *  1. per (key, bucket): the LAST right row's payload (a window over
+    *     right bucketed — bounded by rights per key per bucket);
+    *  2. a per-(key, bucket) SPINE frame (distinct buckets either side
+    *     touches — |keys|·|buckets| rows, ≪ data) carries the latest
+    *     earlier-bucket state forward with one tiny per-key window
+    *     (strictly-earlier frame, so in-bucket rights stay in step 3);
+    *  3. union left rows + right rows + one carry pseudo-row per (key,
+    *     bucket) (sorts first in its bucket: null ts, side −1), then the
+    *     same running `last(payload)` pass as [[asOf]] — partitioned by
+    *     (key, bucket).
+    *
+    * The per-task bound becomes rows-per-(key, bucket): pick
+    * `bucketSeconds` so a hot key's densest bucket fits a task (e.g.
+    * hours for a years-spanning table). A key fully inside ONE bucket
+    * degenerates to [[asOf]]'s bound — the knob, not magic. Null left
+    * timestamps ride the null bucket: it sorts first on the spine with an
+    * empty carry frame, so they keep [[asOf]]'s null-payload semantics. */
+  def asOfBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, rightTs: String, payloads: Seq[String],
+                   bucketSeconds: Long = 86400L): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payT = org.apache.spark.sql.types.StructType(payloads.map(right.schema(_)))
+    val bucketMicros = bucketSeconds * 1000000L
+    def bucketOf(c: Column): Column =
+      floor(unix_micros(c.cast("timestamp")) / bucketMicros).cast("long")
+
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__pay", lit(null).cast(payT))
+      .withColumn("__bucket", bucketOf(col(leftTs)))
+    var r = right
+      .filter(col(rightTs).isNotNull)
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(0))
+      .withColumn("__pay", struct(payloads.map(col): _*))
+      .withColumn("__bucket", bucketOf(col(rightTs)))
+      .select((keys :+ "__ts" :+ "__side" :+ "__pay" :+ "__bucket").map(col): _*)
+    leftCols.filterNot(keys.contains).foreach { c =>
+      r = r.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val unionCols = (leftCols :+ "__ts" :+ "__side" :+ "__pay" :+ "__bucket").map(col)
+
+    // 1. last right payload per (key, bucket)
+    val wrb = Window.partitionBy((keys :+ "__bucket").map(col): _*)
+      .orderBy(col("__ts").desc)
+    val lastPerBucket = r
+      .withColumn("__rk", row_number().over(wrb))
+      .filter(col("__rk") === 1)
+      .select((keys :+ "__bucket").map(col) :+ col("__pay").as("__state"): _*)
+
+    // 2. spine: strictly-earlier-bucket carry state per touched (key, bucket)
+    val spine = l.select((keys :+ "__bucket").map(col): _*).distinct()
+      .unionByName(r.select((keys :+ "__bucket").map(col): _*).distinct())
+      .distinct()
+    val wk = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__bucket").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = spine
+      .join(lastPerBucket, keys :+ "__bucket", "left")
+      .withColumn("__carry", last(col("__state"), ignoreNulls = true).over(wk))
+      .filter(col("__carry").isNotNull)
+
+    // 3. carry pseudo-rows sort FIRST in their bucket (null ts, side -1)
+    var pseudo = carry.select(
+      (keys.map(col) :+ lit(null).cast(left.schema(leftTs).dataType).as("__ts")
+        :+ lit(-1).as("__side") :+ col("__carry").as("__pay") :+ col("__bucket")): _*)
+    leftCols.filterNot(keys.contains).foreach { c =>
+      pseudo = pseudo.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+
+    val w = Window.partitionBy((keys :+ "__bucket").map(col): _*)
+      .orderBy(col("__ts").asc_nulls_first, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l.select(unionCols: _*)
+      .unionByName(r.select(unionCols: _*))
+      .unionByName(pseudo.select(unionCols: _*))
       .withColumn("__pay", last(col("__pay"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++ payloads.map(p => col(s"__pay.$p").as(p)): _*)

@@ -60,14 +60,40 @@ object Dedup {
     * Uncapped-recall claims (e.g. simhash's pigeonhole bound) hold only
     * for buckets smaller than maxBucket·salts or for all-duplicate hot
     * buckets; corpora where hot buckets mix distinct near-dup clusters
-    * should raise `maxBucket`/`salts` or pre-split the bucket key. */
-  private[ops] def chainedBucketPairs(banded: DataFrame, maxBucket: Int,
-                                      salts: Int): DataFrame = {
+    * should raise `maxBucket`/`salts` or pre-split the bucket key.
+    *
+    * SIMILARITY-CORRELATED recovery (narrows that gap): when `banded`
+    * carries an optional long `sk` column — a signature-derived cluster
+    * key where equal sk ⇒ likely duplicates (minhash: a signature
+    * element; simhash: the signature; embeddings: the sketch) — two
+    * extra, still-bounded structures fire:
+    *
+    *  - rows rank by (sk, id) within their salt subgroup, so same-sk rows
+    *    sit at ADJACENT ranks and the offset chain connects same-sk runs
+    *    regardless of where the subgroup's representative points;
+    *  - a CLUSTER STAR pairs every row directly with its (bucket, sk)
+    *    cluster representative (min id): the rep comes from a map-side-
+    *    combinable aggregate (no window — an all-identical 10^9-row
+    *    bucket never sorts in one task) and the join fans out 1:1, so
+    *    comparisons stay O(n) while an exact-sk cluster is guaranteed one
+    *    connected component ACROSS salt subgroups — the mixed hot bucket
+    *    of interleaved duplicate clusters (boilerplate A interleaved with
+    *    boilerplate B) recovers every cluster.
+    *
+    * Near-dups with UNEQUAL sk in a mixed hot bucket still ride the
+    * representative chain — that residual miss class remains and is the
+    * honest price of the cap. Salting itself stays on xxhash64(id): salt
+    * = f(sk) would put a whole identical cluster in ONE window partition
+    * and re-create the single-task sort the salts exist to prevent. */
+  private[graft] def chainedBucketPairs(banded: DataFrame, maxBucket: Int,
+                                        salts: Int): DataFrame = {
     val spark = banded.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
 
-    val salted = banded.select($"bucket", $"id")
+    val hasSk = banded.columns.contains("sk")
+    val skCols = if (hasSk) Seq($"sk") else Nil
+    val salted = banded.select($"bucket" +: $"id" +: skCols: _*)
       .withColumn("salt", pmod(xxhash64($"id"), lit(salts.max(1))))
     val w = Window.partitionBy($"bucket", $"salt")
     // materialize the ranked candidate index ONCE: the three pairing
@@ -79,8 +105,9 @@ object Dedup {
     // ids only, linear in corpus × bands; at scale that's the standard
     // candidate-index materialization, far cheaper than re-scanning and
     // re-sketching the corpus per branch.
+    val rankOrder = if (hasSk) Seq($"sk", $"id") else Seq($"id")
     val ranked = salted
-      .withColumn("rk", row_number().over(w.orderBy($"id")))
+      .withColumn("rk", row_number().over(w.orderBy(rankOrder: _*)))
       .withColumn("cnt", count(lit(1)).over(w))
       .localCheckpoint()
 
@@ -112,12 +139,35 @@ object Dedup {
     // representatives chain across salts: ≤ `salts` rows per bucket, so the
     // per-bucket window is tiny and maxBucket ≥ salts makes them a clique
     val wb = Window.partitionBy($"bucket")
-    val repsRanked = reps.select($"bucket", lit(0L).as("salt"), $"id")
-      .withColumn("rk", row_number().over(wb.orderBy($"id")))
+    // same (sk, id) global order as the subgroup ranks — one consistent
+    // pair orientation across all structures, no reversed duplicates
+    val repsRanked = reps.select($"bucket" +: lit(0L).as("salt") +: $"id" +: skCols: _*)
+      .withColumn("rk", row_number().over(wb.orderBy(rankOrder: _*)))
       .withColumn("cnt", count(lit(1)).over(wb))
     val acrossSalts = offsetPairs(repsRanked)
 
-    withinSalt.unionByName(star).unionByName(acrossSalts)
+    // cluster star (only when a signature-derived sk rides the banding):
+    // every row pairs with its (bucket, sk) cluster's min-id row — a
+    // partial-aggregated rep table + 1:1 equi-join, O(n) pairs, no window.
+    // BOTH sides read the CHECKPOINTED ranked frame: building the star on
+    // the live `salted` subtree re-evaluated the full signature expression
+    // per exploded row on each side of the self-join (measured 186 s vs
+    // 0.6 s at sf0.1 — the banding sits behind a Generate, outside the
+    // projection's codegen stage, so nothing memoizes it per consumer)
+    val clusterStar =
+      if (!hasSk) None
+      else {
+        val clusterReps = ranked.groupBy($"bucket", $"sk")
+          .agg(min($"id").as("id_a"), count(lit(1)).as("n"))
+          .filter($"n" >= 2)
+          .select($"bucket", $"sk", $"id_a")
+        Some(ranked.select($"bucket", $"sk", $"id".as("id_b"))
+          .join(clusterReps, Seq("bucket", "sk"))
+          .filter($"id_a" =!= $"id_b")
+          .select($"id_a", $"id_b"))
+      }
+
+    clusterStar.foldLeft(withinSalt.unionByName(star).unionByName(acrossSalts))(_ unionByName _)
       .dropDuplicates("id_a", "id_b")
   }
 
@@ -136,13 +186,24 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** Word 3-gram shingles as a distinct array column. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
+  /** Word 3-gram shingles as a distinct array column.
+    *
+    * NOTE: `text` is tokenized INSIDE the transform lambda body here, so
+    * when this inline form lands in a single projection the tokenizer is
+    * re-evaluated per shingle position (the CollapseProject lambda trap).
+    * Fine for tests/small frames; the hot paths materialize a token
+    * column first and use [[shinglesFromTokens]]. */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(tokens(text), n)
+
+  /** Shingles over an already-MATERIALIZED token array attribute: the
+    * attribute is referenced twice (sequence bound + lambda slice), which
+    * blocks CollapseProject from inlining the tokenizer into the lambda
+    * body — tokens evaluate once per row, not once per shingle. */
+  def shinglesFromTokens(toks: Column, n: Int = 3): Column =
     array_distinct(transform(
       sequence(lit(0), greatest(size(toks) - n, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
 
   /** MinHash signature over pre-hashed shingles: each shingle string is
     * hashed ONCE to a long, then the `numHashes` families re-mix the longs
@@ -188,23 +249,32 @@ object Dedup {
     // shuffling the shingle arrays through the candidate join — at scale
     // re-reading the (columnar, pruned) text column is cheaper than paying
     // the payload through every exchange of the pairing
-    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol)).as("sh"))
+    val sh = docs
+      .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      .select(col(idCol).as("id"), shinglesFromTokens(col("__toks")).as("sh"))
 
     // `hs` MUST stay its own projection: inlining it into the signature
     // expression would substitute the per-shingle string hash into all
     // `numHashes` family lambdas (64× recomputation per row — measured 8×
     // slower); as a multiply-referenced non-cheap expression it blocks
     // CollapseProject and is evaluated once per row
+    // `sk` = first signature element: equal-sk probability between two
+    // docs IS their Jaccard similarity (the minhash property), so the
+    // cluster star / rank adjacency in chainedBucketPairs co-locates
+    // likely duplicates across salt subgroups. The extra syntactic `sig`
+    // reference also pins `sig` as its own projection (multiply-referenced
+    // non-cheap expressions block CollapseProject).
     val banded = sh
       .withColumn("hs", transform($"sh", s => xxhash64(s)))
       .withColumn("sig", minhashSignatureFromHashes($"hs", numHashes))
-      .select($"id", posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice($"sig", b * rowsPerBand + lit(1), lit(rowsPerBand))))))
-      .select($"id", concat($"pos", lit(":"), $"col").as("bucket"))
+      .select($"id", element_at($"sig", 1).as("sk"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice($"sig", b * rowsPerBand + lit(1), lit(rowsPerBand))))))
+      .select($"id", $"sk", concat($"pos", lit(":"), $"col").as("bucket"))
 
     // id-only candidate pairing (offset-exploded equi-join, salted ranks);
     // shingles join back by id for exact Jaccard verification
-    chainedBucketPairs(banded.select($"bucket", $"id"), maxBucket, salts = 16)
+    chainedBucketPairs(banded.select($"bucket", $"id", $"sk"), maxBucket, salts = 16)
       .join(sh.select($"id".as("id_a"), $"sh".as("sh_a")), Seq("id_a"))
       .join(sh.select($"id".as("id_b"), $"sh".as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")))
@@ -236,9 +306,12 @@ object Dedup {
 
     val bandCols = array((0 until 4).map(b =>
       concat(lit(b), lit(":"), shiftright($"sig", b * 16).bitwiseAND(lit(0xFFFFL)))): _*)
-    val banded = sigs.select($"id", explode(bandCols).as("bucket"))
+    // sk = the full 64-bit signature: identical docs (the dominant hot-
+    // bucket population simhash exists for) share it exactly, so the
+    // cluster star keeps every interleaved identical cluster connected
+    val banded = sigs.select($"id", $"sig".as("sk"), explode(bandCols).as("bucket"))
 
-    chainedBucketPairs(banded.select($"bucket", $"id"), maxBucket, salts = 16)
+    chainedBucketPairs(banded.select($"bucket", $"id", $"sk"), maxBucket, salts = 16)
       .join(sigs.select($"id".as("id_a"), $"sig".as("sig_a")), Seq("id_a"))
       .join(sigs.select($"id".as("id_b"), $"sig".as("sig_b")), Seq("id_b"))
       .withColumn("hamming", bit_count($"sig_a".bitwiseXOR($"sig_b")))
@@ -289,8 +362,10 @@ object Dedup {
     // shingles hashed once to longs: jaccard over hashed sets equals
     // jaccard over string sets up to xxhash64 collisions (negligible at
     // dozens of grams per doc)
-    val grams = docs.select(col(idCol).as("id"), explode(
-      transform(shingles(col(textCol)), s => xxhash64(s))).as("g"))
+    val grams = docs
+      .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      .select(col(idCol).as("id"), explode(
+        transform(shinglesFromTokens(col("__toks")), s => xxhash64(s))).as("g"))
 
     // global order = ASCENDING document frequency (rare-first): the whole
     // point of prefix filtering — a doc's prefix holds its RAREST shingles,

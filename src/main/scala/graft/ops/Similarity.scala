@@ -276,11 +276,16 @@ object Similarity {
     import spark.implicits._
 
     val sk = sketchAllUdf(bits, tables, dims)
-    val banded = corpus.select(col(idCol).as("id"), posexplode(sk(col(vecCol))))
-      .select($"id", concat($"pos", lit(":"), $"col").as("bucket"))
+    // sk (salt-key) = table-0 sketch: near-identical vectors overwhelmingly
+    // share it, so chainedBucketPairs' cluster star keeps identical-vector
+    // clusters connected across salt subgroups; the double reference to
+    // `sks` also pins the sketch UDF to one evaluation per row
+    val banded = corpus.select(col(idCol).as("id"), sk(col(vecCol)).as("sks"))
+      .select($"id", element_at($"sks", 1).as("sk"), posexplode($"sks"))
+      .select($"id", $"sk", concat($"pos", lit(":"), $"col").as("bucket"))
     val vecs = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    Dedup.chainedBucketPairs(banded.select($"bucket", $"id"), maxBucket, salts = 16)
+    Dedup.chainedBucketPairs(banded.select($"bucket", $"id", $"sk"), maxBucket, salts = 16)
       .join(vecs.select($"id".as("id_a"), $"v".as("v_a")), Seq("id_a"))
       .join(vecs.select($"id".as("id_b"), $"v".as("v_b")), Seq("id_b"))
       .withColumn("cos", cosine($"v_a", $"v_b"))

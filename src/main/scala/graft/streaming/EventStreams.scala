@@ -27,32 +27,45 @@ object EventStreams {
         col("n"), col("total"))
 
   final case class SessionEvent(user_id: Long, ts: Timestamp, event_type: String)
+  /** State timestamps in MICROSECONDS — the batch twin
+    * ([[graft.ops.Sessions]]) compares `unix_micros`, and the driver
+    * tables carry micros precision; a millis (`getTime`) comparison here
+    * could split a session differently than batch on a gap within 1 ms of
+    * the threshold (the round-3 sub-second-precision bug class). */
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class Session(user_id: Long, startMs: Long, endMs: Long, nEvents: Int)
+
+  /** `java.sql.Timestamp` → epoch micros (getTime's millis part already
+    * floors the nanos, so rebuild from whole seconds + nanos/1000). */
+  private def epochMicros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   /** Gap-based sessionization with explicit state: a user's session is
     * closed (emitted once) when a later event arrives more than `gapMs`
     * after the session's last event — purely event-driven state, so the
-    * output is deterministic in event time (no wall-clock timeouts). */
+    * output is deterministic in event time (no wall-clock timeouts).
+    * The gap decision runs in micros (micros-precision timestamps agree
+    * with the batch face); emitted `startMs`/`endMs` stay millis. */
   def sessionize(events: Dataset[SessionEvent], gapMs: Long = 30 * 60 * 1000L)
   : Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val gapMicros = gapMs * 1000L
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          val sorted = rows.toSeq.sortBy(e => epochMicros(e.ts))
           var closed = Vector.empty[Session]
           var cur = state.getOption
           sorted.foreach { e =>
-            val t = e.ts.getTime
+            val t = epochMicros(e.ts)
             cur match {
-              case Some(s) if t - s.last <= gapMs =>
+              case Some(s) if t - s.last <= gapMicros =>
                 cur = Some(SessionState(s.start, t, s.n + 1))
               case Some(s) =>
-                closed :+= Session(user, s.start, s.last, s.n)
+                closed :+= Session(user, s.start / 1000L, s.last / 1000L, s.n)
                 cur = Some(SessionState(t, t, 1))
               case None =>
                 cur = Some(SessionState(t, t, 1))

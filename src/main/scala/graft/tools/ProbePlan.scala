@@ -1,4 +1,6 @@
-package graft.ops
+package graft.tools
+
+import graft.ops._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._

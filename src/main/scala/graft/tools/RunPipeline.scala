@@ -22,9 +22,16 @@ object RunPipeline {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // explicit privacy-cutoff date: env-pinnable for reproducible runs;
+    // whatever is passed, Pipeline pins the FIRST run's date in the
+    // workDir so resumes across midnight stay self-consistent
+    val today = sys.env.get("SPARK_GRAFT_TODAY")
+      .map(java.time.LocalDate.parse)
+      .getOrElse(java.time.LocalDate.now())
+
     val docs = SynthDocs.fromDocuments(spark, sfDir, replicate)
     val t0 = System.nanoTime()
-    val out = Pipeline.run(spark, docs, workDir)
+    val out = Pipeline.run(spark, docs, workDir, today)
     val n = out.count()
     val sec = (System.nanoTime() - t0) / 1e9
 

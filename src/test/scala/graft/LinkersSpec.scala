@@ -141,7 +141,9 @@ class LinkersSpec extends AnyFunSuite {
       typ("r2"), cap("r2", "syksy 40"), cap("r2", "kesä 42"),
       // r3: two parseable dates straddling 1941-06-24 -> BOTH triples
       typ("r3"), cap("r3", "1940-01-01", dated = true), cap("r3", "1942-01-01", dated = true),
-      // r4: no capture; two info values, one per war -> BOTH (per value)
+      // r4: no capture; two info values, one per war -> WINTER ONLY: the
+      // winter-info OPTIONAL binds ?war on every surviving row, so the
+      // continuation OPTIONAL can never fire (record-level precedence)
       typ("r4"), info("r4", "vangittu 1939 syksyllä"), info("r4", "palasi 1944"),
       // r5: nothing matches, wwc present -> winter
       typ("r5"), wwc("r5"),
@@ -156,8 +158,9 @@ class LinkersSpec extends AnyFunSuite {
       // r10: capture present -> info fallback must NOT fire
       typ("r10"), cap("r10", "tuntematon"), info("r10", "1939"),
       // r11: no capture, wwc, one MATCHING info value and one non-matching
-      // -> reference emits BOTH: the matched war (from the matching row)
-      // and WinterWar (wwc fires on the unbound sibling row)
+      // -> ContinuationWar ONLY: the non-matching sibling is filtered
+      // INSIDE the info OPTIONAL, so no unbound-?war row survives for wwc
+      // to fill (Jena emits only ContinuationWar here — round-4 advice)
       typ("r11"), info("r11", "palasi 1944"), info("r11", "ei tietoa"), wwc("r11"),
       // r12: no capture, wwc, ALL info values match -> no unbound row, so
       // wwc must NOT fire
@@ -171,7 +174,8 @@ class LinkersSpec extends AnyFunSuite {
     assert(got(NS.DATA + "r1") == Set(W), s"r1: ${got.get(NS.DATA + "r1")}")
     assert(got(NS.DATA + "r2") == Set(W, C))
     assert(got(NS.DATA + "r3") == Set(W, C))
-    assert(got(NS.DATA + "r4") == Set(W, C))
+    assert(got(NS.DATA + "r4") == Set(W),
+      "record-level winter precedence: continuation sibling must not emit")
     assert(got(NS.DATA + "r5") == Set(W))
     assert(got(NS.DATA + "r6") == Set(W))
     assert(got(NS.DATA + "r7") == Set(C), "wwc must not fire on a bound row")
@@ -179,8 +183,8 @@ class LinkersSpec extends AnyFunSuite {
     assert(got(NS.DATA + "r9") == Set(W, C))
     assert(!got.contains(NS.DATA + "r10"),
       "info fallback must not fire when a capture literal exists")
-    assert(got(NS.DATA + "r11") == Set(W, C),
-      "wwc fires per VALUE: the non-matching info row must add WinterWar")
+    assert(got(NS.DATA + "r11") == Set(C),
+      "wwc must NOT fire: the non-matching info value yields no solution row")
     assert(got(NS.DATA + "r12") == Set(C),
       "wwc must not fire when every info value bound a war")
   }

@@ -235,6 +235,89 @@ class OpsSpec extends AnyFunSuite {
     assert(guarded == got, s"null right ts changed results: $guarded")
   }
 
+  test("asOfBucketed ≡ asOf: equivalence incl. hot key, ties, null ts, boundaries") {
+    import java.sql.Timestamp
+    // deterministic pseudo-random workload: one HOT key (0) holding half
+    // the rows, arithmetic timestamps that straddle bucket boundaries and
+    // produce exact left-ts == right-ts ties; key 7 has no right rows;
+    // a few null left timestamps
+    val base = 1767225600000000L // 2026-01-01 00:00:00 UTC in micros
+    val left = spark.range(400).selectExpr(
+      "id AS event_id",
+      "CASE WHEN id % 2 = 0 THEN 0 ELSE id % 8 END AS k",
+      s"""CASE WHEN id % 37 = 0 THEN CAST(NULL AS TIMESTAMP)
+         |ELSE timestamp_micros(${base}L + (id * 977L % 300) * 3600000000L
+         |     + (id * 131L % 2) * 500000L) END AS ets""".stripMargin)
+    val right = spark.range(120).selectExpr(
+      "CASE WHEN id % 2 = 0 THEN 0 ELSE id % 8 END AS k",
+      s"timestamp_micros(${base}L + (id * 577L % 300) * 3600000000L) AS rts",
+      "concat('v', id) AS v")
+      .groupBy("k", "rts").agg(org.apache.spark.sql.functions.expr("min(v) AS v"))
+      // uniqueness contract, deterministically (dropDuplicates keeps an
+      // ARBITRARY row per key — the two runs could then see different v)
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.select("event_id", "v").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1).toSeq
+    val plain = run(graft.ops.AsOfJoin.asOf(
+      left, right, Seq("k"), "ets", "rts", Seq("v")))
+    for (bucketSec <- Seq(3600L, 86400L, 100L * 86400L)) {
+      val bucketed = run(graft.ops.AsOfJoin.asOfBucketed(
+        left, right, Seq("k"), "ets", "rts", Seq("v"), bucketSeconds = bucketSec))
+      assert(bucketed == plain, s"asOfBucketed($bucketSec) diverged from asOf")
+    }
+    assert(plain.exists(_._2.isEmpty) && plain.exists(_._2.nonEmpty),
+      "fixture must exercise both matched and unmatched rows")
+  }
+
+  test("sessionizeBucketed ≡ sessionize: equivalence incl. one-key-100% skew") {
+    // ALL events on one user — the adversarial shape the per-key window
+    // serializes — with gaps engineered around the 1800 s threshold and
+    // bucket boundaries (exact-boundary events, cross-bucket sessions)
+    val base = 1767225600000000L
+    val events = spark.range(3000).selectExpr(
+      "CAST(42 AS BIGINT) AS user_id",
+      // mixture of small intra-session steps and occasional > 30 min gaps;
+      // multiples of 900 s land exactly on bucket boundaries
+      s"""timestamp_micros(${base}L +
+         |  id * 600000000L + (id % 7) * 300000000L +
+         |  CAST(id / 50 AS LONG) * 2000000000L + (id % 3) * 250000L) AS ts""".stripMargin)
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.select("user_id", "ts", "session_seq").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2.getTime)).toSeq
+    val plain = run(graft.ops.Sessions.sessionize(events, "user_id", "ts"))
+    for (bucketSec <- Seq(900L, 3600L, 86400L)) {
+      val bucketed = run(graft.ops.Sessions.sessionizeBucketed(
+        events, "user_id", "ts", bucketSeconds = bucketSec))
+      assert(bucketed == plain, s"sessionizeBucketed($bucketSec) diverged")
+    }
+    assert(plain.map(_._3).max > 1, "fixture must contain multiple sessions")
+  }
+
+  test("cluster star: interleaved duplicate clusters in ONE hot bucket both recover") {
+    // Two duplicate clusters interleaved by id inside a single hot bucket
+    // (the round-3 honest recall gap): with id-salting alone, members of a
+    // cluster land in different salt subgroups and connect only through
+    // subgroup representatives — which alternate between clusters, so
+    // after verification kills cross-cluster candidates a cluster can
+    // shatter. The sk cluster star pairs every row DIRECTLY with its
+    // cluster's min-id representative, keeping each cluster one component.
+    import spark.implicits._
+    val n = 400 // 200 per cluster, interleaved ids
+    val banded = spark.range(n)
+      .select(lit("hot").as("bucket"), $"id", pmod($"id", lit(2)).as("sk"))
+    val pairs = graft.ops.Dedup.chainedBucketPairs(banded, maxBucket = 4, salts = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // verification: only same-cluster (same parity) pairs survive
+    val verified = pairs.filter { case (a, b) => a % 2 == b % 2 }
+    assert(pairs.length <= n * (4 + 4), s"comparison bound violated: ${pairs.length}")
+    val comps = graft.ops.Dedup.nearDuplicateGroups(
+        verified.toSeq.toDF("id_a", "id_b"))
+      .select("canonical_id").distinct().as[String].collect().toSet
+    assert(comps == Set("0", "1"),
+      s"each interleaved cluster must stay ONE component, got $comps")
+  }
+
   test("range join: containment semantics incl. bucket-spanning intervals") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)

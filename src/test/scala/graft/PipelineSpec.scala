@@ -139,11 +139,20 @@ class PipelineSpec extends AnyFunSuite {
     val schema = store0.read("schema")
     assert(schema.filter($"subj" === (NS.SCHEMA_WARSA + "PowCamp")).count() > 0)
 
-    // kill-and-resume: wipe the last two stages, rerun -> identical output
+    // the privacy-cutoff date is pinned in the workDir's run config —
+    // resume across midnight must reproduce the first run's classification
+    val cfg = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_RUN_CONFIG.json")), "UTF-8")
+    assert(cfg.contains(s""""today": "$today""""), s"run date not pinned: $cfg")
+
+    // kill-and-resume: wipe the last two stages AND the privacy stage,
+    // rerun with a DIFFERENT requested date — the pinned date must win,
+    // so the re-computed privacy classification (and hence the whole
+    // output) is bit-identical to the uninterrupted run
     val store = new SnapshotStore(spark, dir)
-    store.invalidate("final")
-    store.invalidate("events")
-    val out2 = Pipeline.run(spark, docs, dir, today)
+    Seq("pruned", "linked", "person_links", "sourced", "canonical",
+      "events", "final").foreach(store.invalidate)
+    val out2 = Pipeline.run(spark, docs, dir, today.plusYears(40))
     assert(out2.count() == n1)
     val k2 = out2.select("subj", "pred", "objValue").as[(String, String, String)]
       .collect().toSet
