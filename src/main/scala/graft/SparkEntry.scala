@@ -113,6 +113,40 @@ object SparkEntry {
       |  ('9000000020','9000000020'), ('9000000021','9000000020'))
       |  AS t(doc_id, canonical_id) ORDER BY doc_id""".stripMargin
 
+  /** Streaming-source plumbing for the TRUE-streaming gate rows: expose
+    * the events table as a readStream (FileStreamSource wants a DIRECTORY
+    * — the sandbox table is a single parquet file, symlinked into a temp
+    * source dir) and drain a streaming frame to parquet with
+    * Trigger.AvailableNow, returning the read-back batch frame. */
+  private final case class StreamedSource(
+      stream: DataFrame, tmp: java.nio.file.Path)
+  private def streamedEvents(s: SparkSession, d: String): StreamedSource = {
+    val batchSchema = t(s, d, "events").schema
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream")
+    val srcPath = {
+      val p = java.nio.file.Paths.get(d, "events.parquet")
+      if (java.nio.file.Files.isDirectory(p)) p.toString
+      else {
+        val sd = java.nio.file.Files.createDirectory(tmp.resolve("src"))
+        java.nio.file.Files.createSymbolicLink(sd.resolve("events.parquet"), p)
+        sd.toString
+      }
+    }
+    StreamedSource(s.readStream.schema(batchSchema).parquet(srcPath), tmp)
+  }
+  private def drainToParquet(s: SparkSession, streamed: DataFrame,
+                             src: StreamedSource): DataFrame = {
+    val outDir = src.tmp.resolve("out").toString
+    streamed.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", src.tmp.resolve("ckpt").toString)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    s.read.parquet(outDir)
+  }
+
   private val ivfCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Array[Array[Double]], String)]()
   private def ivfPersisted(s: SparkSession, d: String): (Array[Array[Double]], DataFrame) = {
@@ -367,36 +401,37 @@ object SparkEntry {
     "events_stream_sessionize" -> ((s, d) => {
       import s.implicits._
       import graft.streaming.EventStreams
-      val batchSchema = t(s, d, "events").schema
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_sess")
-      val outDir = tmp.resolve("out").toString
-      // FileStreamSource wants a DIRECTORY; the sandbox table is a single
-      // parquet file — expose it through a symlinked source dir
-      val srcPath = {
-        val p = java.nio.file.Paths.get(d, "events.parquet")
-        if (java.nio.file.Files.isDirectory(p)) p.toString
-        else {
-          val sd = java.nio.file.Files.createDirectory(tmp.resolve("src"))
-          java.nio.file.Files.createSymbolicLink(sd.resolve("events.parquet"), p)
-          sd.toString
-        }
-      }
-      val src = s.readStream.schema(batchSchema).parquet(srcPath)
+      val src = streamedEvents(s, d)
       val sessions = EventStreams.sessionize(
-        src.select($"user_id", $"ts", $"event_type").as[EventStreams.SessionEvent])
-      sessions.writeStream.format("parquet")
-        .option("path", outDir)
-        .option("checkpointLocation", tmp.resolve("ckpt").toString)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-        .awaitTermination()
-      s.read.parquet(outDir)
+        src.stream.select($"user_id", $"ts", $"event_type").as[EventStreams.SessionEvent])
+      drainToParquet(s, sessions.toDF(), src)
         .select($"user_id",
           date_format(timestamp_millis($"startMs"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           date_format(timestamp_millis($"endMs"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
           $"nEvents".cast("long").as("n_events"))
         .orderBy($"user_id", $"session_start")
+    }),
+
+    // ---- TRUE streaming gate row #2: watermarked tumbling windows. The
+    // final watermark of an AvailableNow drain is max(ts) − 10 min, so
+    // append mode emits exactly the windows whose END the watermark
+    // passed — the DuckDB oracle is the batch window mirror restricted to
+    // those finalized windows. Counts only: the operator's double-sum
+    // aggregate is float-order-dependent and has its exact-cents batch
+    // face under events_tumbling_window. ----------------------------------
+    "events_stream_tumbling" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.EventStreams
+      val src = streamedEvents(s, d)
+      // driver tables carry TIMESTAMP_NTZ; watermarks need TIMESTAMP —
+      // the UTC session timezone makes the cast a no-op on wall time
+      val wc = EventStreams.windowedCounts(
+        src.stream.withColumn("ts", $"ts".cast("timestamp")),
+        watermark = "10 minutes", windowLen = "1 hour")
+      drainToParquet(s, wc.select($"win_start", $"event_type", $"n"), src)
+        .select(date_format($"win_start", "yyyy-MM-dd HH").as("h"),
+          $"event_type", $"n")
+        .orderBy($"h", $"event_type")
     }),
 
     // ---- streaming-shape: tumbling-window aggregation over events ---------
@@ -999,6 +1034,19 @@ object SparkEntry {
       """SELECT user_id, strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H') AS h,
         |  count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY user_id, h""".stripMargin,
+
+    // streaming tumbling drain vs batch mirror restricted to the windows
+    // the final watermark (max ts - 10 min) finalized
+    "events_stream_tumbling" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+        |agg AS (
+        |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start, event_type,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT strftime(win_start, '%Y-%m-%d %H') AS h, event_type, n
+        |FROM agg, wm
+        |WHERE win_start + INTERVAL 1 HOUR <= wm.w
+        |ORDER BY h, event_type""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS digest, count(*) AS n_docs, min(doc_id) AS canonical_id

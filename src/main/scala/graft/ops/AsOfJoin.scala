@@ -41,6 +41,19 @@ object AsOfJoin {
     * when keys are well-distributed; for skewed keys at scale use
     * [[asOfBucketed]], which bounds every task by (key, time-bucket) and
     * is output-identical (equivalence spec in OpsSpec). */
+  /** Debug guard for the right-uniqueness contract: fails fast when any
+    * (key, ts) holds more than one right row (where the operators would
+    * otherwise silently pick an arbitrary winner). One aggregate pass —
+    * call it in tests / on suspect inputs, not per production run. */
+  def requireUniqueRight(right: DataFrame, keys: Seq[String], rightTs: String): Unit = {
+    val dup = right.filter(col(rightTs).isNotNull)
+      .groupBy((keys :+ rightTs).map(col): _*)
+      .count().filter(col("count") > 1)
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"as-of right side not unique per (${keys.mkString(",")}, $rightTs): e.g. ${dup.mkString}")
+  }
+
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String, payloads: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq

@@ -233,6 +233,13 @@ class OpsSpec extends AnyFunSuite {
       .select("event_id", "v").collect()
       .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
     assert(guarded == got, s"null right ts changed results: $guarded")
+
+    // right-uniqueness debug guard: clean dim passes, a duplicated
+    // (k, ts) trips the require
+    graft.ops.AsOfJoin.requireUniqueRight(dim, Seq("k"), "dim_ts")
+    intercept[IllegalArgumentException] {
+      graft.ops.AsOfJoin.requireUniqueRight(dim.unionByName(dim), Seq("k"), "dim_ts")
+    }
   }
 
   test("asOfBucketed ≡ asOf: equivalence incl. hot key, ties, null ts, boundaries") {
