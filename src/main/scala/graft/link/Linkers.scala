@@ -198,11 +198,18 @@ object Linkers {
     val mentions = literals(triples, NS.SCHEMA_POW + "unit_literal")
     // n-gram windows (1..5 tokens), STRLEN>2 or >1 if all-caps
     // (units.sparql:12 / warsa_actor_units query)
-    val toks = filter(split(fold($"literal"), "[ /.,]+"), t => t =!= "")
+    // token array MATERIALIZED as an attribute: referenced inside the
+    // window lambda bodies, where an inline split subtree would be
+    // duplicated and re-run per (n, i) window (bounded here — unit
+    // literals are a few tokens — but free to avoid; same trap family as
+    // TextAnalysis.repetitionCounts)
+    val toks = col("__unit_toks")
     val ngrams = flatten(transform(sequence(lit(1), lit(5)), n =>
       transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
         i => concat_ws(" ", slice(toks, i + 1, n)))))
     val mentionGrams = mentions
+      .withColumn("__unit_toks",
+        filter(split(fold($"literal"), "[ /.,]+"), t => t =!= ""))
       .select($"subj", $"literal", $"docId",
         explode(array_distinct(ngrams)).as("gram"))
       .filter(length($"gram") > 2 ||

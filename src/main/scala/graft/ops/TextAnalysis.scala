@@ -91,15 +91,16 @@ object TextAnalysis {
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(k)
 
-  /** Non-distinct token bigrams (repetition signals need multiplicity;
-    * the dedup shingles are distinct by design). Shares the degenerate
-    * short-doc convention of [[graft.ops.Dedup.shingles]]: a doc with
-    * fewer tokens than the gram width yields one truncated gram. */
-  def bigrams(text: Column): Column = {
-    val toks = tokens(lower(text))
+  /** Non-distinct token bigrams over a MATERIALIZED token-array attribute
+    * (repetition signals need multiplicity; the dedup shingles are
+    * distinct by design). Takes the token ARRAY, not the text: a Column is
+    * an AST, so an inline `split` argument would be duplicated into the
+    * lambda body and re-run per gram (see [[fingerprints]]). Shares the
+    * degenerate short-doc convention of [[graft.ops.Dedup.shingles]]: a
+    * doc with fewer tokens than the gram width yields one truncated gram. */
+  def bigrams(toks: Column): Column =
     transform(sequence(lit(0), greatest(size(toks) - 2, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(2))))
-  }
 
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1 — public):
     * per doc, the most-frequent bigram's count and the total bigram
@@ -114,7 +115,16 @@ object TextAnalysis {
     * |corpus|·|grams| rows twice for a per-document statistic — measured
     * 10× slower at sf0.1 and unviable at 100 TB.) */
   def repetitionCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sorted = array_sort(bigrams(col(textCol)))
+    // tokens and the sorted gram array are MATERIALIZED attributes (each
+    // multiply referenced, so CollapseProject keeps the projections).
+    // Written inline, every syntactic reference duplicated the whole
+    // split→bigram→sort subtree — including the two element_at's INSIDE
+    // the aggregate lambda, re-sorting the doc's grams per fold step:
+    // O(grams²·log grams) per doc. Round 3's bench `count()` plan pruned
+    // this column so the cost never surfaced; the honest toRdd timing
+    // hung one task for >20 min at sf0.1 (same family as
+    // Dedup.minhashSignatureFromHashes — see fingerprints above).
+    val sorted = col("__rep_sorted")
     val n = size(sorted) // always >= 1: a short doc yields one truncated gram
     val idxs = when(n > 1, sequence(lit(1), n - 1))
       .otherwise(array().cast("array<int>")) // sequence(1,0) would DESCEND
@@ -127,8 +137,10 @@ object TextAnalysis {
           lit("cur"), cur2)
       },
       acc => acc.getField("best"))
-    df.select(col(idCol), top.cast("long").as("top_gram_count"),
-      n.cast("long").as("n_grams"))
+    df.withColumn("__rep_toks", tokens(lower(col(textCol))))
+      .withColumn("__rep_sorted", array_sort(bigrams(col("__rep_toks"))))
+      .select(col(idCol), top.cast("long").as("top_gram_count"),
+        n.cast("long").as("n_grams"))
   }
 
   // -------------------------------------------------------------------
