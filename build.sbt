@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-process output passes through VERBATIM (no sbt [info]/[error]
+// line prefixes): graft.Bench's contract is ONE machine-parseable JSON
+// line on stdout, and the default LoggedOutput strategy prefixes every
+// line, breaking downstream parsers (round-4 bench artifact had
+// parsed:null for exactly this reason). ScalaTest result reporting is
+// unaffected (forked tests report over a socket, not stdout).
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

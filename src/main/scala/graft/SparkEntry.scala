@@ -85,6 +85,32 @@ object SparkEntry {
       (PlantBase + 60, oneHot(2)), (PlantBase + 61, oneHot(3)),
     ).toDF("vec_id", "embedding")
   }
+  /** Planted ANN QUERY vectors — IDENTICAL to planted corpus vectors
+    * (PlantBase+40/41 = one-hot axis 0, PlantBase+50/51 = axis 1): cosine
+    * exactly 1.0 survives ANY sign sketch (identical vectors share every
+    * band) and ANY IVF probe (identical vectors share the argmin cell, and
+    * nprobe ≥ 1 always includes it), so the planted queries' rank-1/rank-2
+    * neighbors are the two identical corpus vectors, id-ordered —
+    * hand-derivable, hash-independent. No real corpus vector can tie: a
+    * cosine of exactly 1.0 against a one-hot axis requires every other
+    * component to be exactly 0.0 (verified empirically on the sf corpora;
+    * the synthetic embeddings are dense). Closes the last two `no_oracle`
+    * gate rows (round-4 verdict #1). */
+  private def plantedQueryVecs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    def oneHot(k: Int) = Array.tabulate(64)(i => if (i == k) 1.0f else 0.0f)
+    Seq((PlantBase + 70, oneHot(0)), (PlantBase + 71, oneHot(1)))
+      .toDF("vec_id", "embedding")
+  }
+
+  private val plantedAnnOracle =
+    """SELECT * FROM (VALUES
+      |  (9000000070, 9000000040, CAST(1 AS BIGINT)),
+      |  (9000000070, 9000000041, CAST(2 AS BIGINT)),
+      |  (9000000071, 9000000050, CAST(1 AS BIGINT)),
+      |  (9000000071, 9000000051, CAST(2 AS BIGINT)))
+      |  AS t(query_id, neighbor_id, rank) ORDER BY query_id, rank""".stripMargin
+
   /** Canonical assignment over the planted pair graph WITHOUT an
     * iterative connected-components pass: the sk CLUSTER STAR
     * ([[Dedup.chainedBucketPairs]]) guarantees every member of an
@@ -120,11 +146,26 @@ object SparkEntry {
     * Trigger.AvailableNow, returning the read-back batch frame. */
   private final case class StreamedSource(
       stream: DataFrame, tmp: java.nio.file.Path)
+  /** Temp dirs created by the streaming gate rows, deleted at JVM exit —
+    * the drained parquet must OUTLIVE the query (Verify/Bench read the
+    * returned frame lazily), so deletion can't happen at drain time, but a
+    * bench loop must not leak a dir per invocation either. */
+  private val tmpDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private lazy val cleanupHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => tmpDirs.forEach { p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(p.toFile); ()
+    }))
+  private def cleanupAtExit(p: java.nio.file.Path): java.nio.file.Path = {
+    cleanupHookInstalled; tmpDirs.add(p); p
+  }
   private def streamedEvents(s: SparkSession, d: String): StreamedSource = {
     val batchSchema = t(s, d, "events").schema
-    val tmp = java.nio.file.Files.createTempDirectory("graft_stream")
+    val tmp = cleanupAtExit(java.nio.file.Files.createTempDirectory("graft_stream"))
     val srcPath = {
-      val p = java.nio.file.Paths.get(d, "events.parquet")
+      // absolutize: a symlink target resolves relative to the LINK's dir,
+      // so a relative sfDir would yield a dangling link inside tmp/src
+      val p = java.nio.file.Paths.get(d, "events.parquet").toAbsolutePath
       if (java.nio.file.Files.isDirectory(p)) p.toString
       else {
         val sd = java.nio.file.Files.createDirectory(tmp.resolve("src"))
@@ -151,9 +192,15 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, (Array[Array[Double]], String)]()
   private def ivfPersisted(s: SparkSession, d: String): (Array[Array[Double]], DataFrame) = {
     val (centroids, path) = ivfCache.computeIfAbsent(d, _ => {
+      // planted identical-vector rows ride the index so the probe gate row
+      // carries a hash-exact oracle (see plantedQueryVecs)
       val emb = tWide(s, d, "embeddings").select("vec_id", "embedding")
+        .unionByName(plantedVecs(s))
       val (c, indexed) = Similarity.ivfIndex(emb, k = 16, iters = 3)
-      val p = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+      // FIXED per-corpus location (overwritten per JVM, never a fresh leak
+      // per run): the index is a build artifact, not a temp file
+      val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_ivf_idx" + d.replaceAll("[^A-Za-z0-9]+", "_")).toString
       Similarity.writeIvfIndex(indexed, p)
       (c, p)
     })
@@ -397,7 +444,12 @@ object SparkEntry {
     // batch sessionize mirror MINUS each user's last session: the
     // streaming operator is hash-checked against an independent engine,
     // which also pins it to its batch twin (events_sessionize runs the
-    // same mirror WITH the final sessions). ---------------------------------
+    // same mirror WITH the final sessions). The single-file source makes
+    // this drain ONE microbatch (FileStreamSource admits whole files), so
+    // it exercises the worst case of the operator's documented per-batch
+    // buffering contract (EventStreams.sessionize scaladoc); the bounded
+    // multi-batch path is pinned by the one-user-100%-of-rows
+    // EventStreamsSpec. -----------------------------------------------------
     "events_stream_sessionize" -> ((s, d) => {
       import s.implicits._
       import graft.streaming.EventStreams
@@ -602,12 +654,20 @@ object SparkEntry {
         .orderBy($"query_id", $"rank")
     }),
 
-    // ---- similarity: LSH-bucketed cosine (scale path, rows-only) ----------
+    // ---- similarity: LSH-bucketed cosine over corpus+planted — planted
+    // queries' top-2 (hash-exact VALUES oracle; see plantedQueryVecs). The
+    // REAL queries stay in the timed plan: localCheckpoint is a pushdown
+    // barrier (the top-k window partitions by query_id, so the planted-row
+    // filter would otherwise push below it and prune the production work) -
     "embed_cosine_lsh" -> ((s, d) => {
       import s.implicits._
-      val emb = tWide(s, d, "embeddings")
-      Similarity.cosineTopKLsh(emb, emb.filter($"vec_id" < 8), k = 5, bits = 8)
-        .select($"query_id", $"neighbor_id", $"rank")
+      val emb = tWide(s, d, "embeddings").select($"vec_id", $"embedding")
+      val corpus = emb.unionByName(plantedVecs(s))
+      val queriesDf = emb.filter($"vec_id" < 8).unionByName(plantedQueryVecs(s))
+      Similarity.cosineTopKLsh(corpus, queriesDf, k = 5, bits = 8)
+        .select($"query_id", $"neighbor_id", $"rank".cast("long").as("rank"))
+        .localCheckpoint()
+        .filter($"query_id" >= PlantBase && $"rank" <= 2)
         .orderBy($"query_id", $"rank")
     }),
 
@@ -649,16 +709,21 @@ object SparkEntry {
     }),
 
     // ---- similarity: IVF probe against the PERSISTED cell-partitioned
-    // index (scale path, rows-only): the timed query is the partition-
-    // pruned probe; the one-time index build+write happens on first call
-    // (bench warm-up / verify first run) ---------------------------------
+    // index: the timed query is the partition-pruned probe (real + planted
+    // queries); the one-time index build+write happens on first call
+    // (bench warm-up / verify first run). Emits the planted queries' top-2
+    // under the hash-exact VALUES oracle; localCheckpoint keeps the real
+    // probes in the timed plan (see embed_cosine_lsh) --------------------
     "embed_cosine_ivf" -> ((s, d) => {
       import s.implicits._
       val (centroids, persisted) = ivfPersisted(s, d)
       val queriesDf = tWide(s, d, "embeddings")
         .select("vec_id", "embedding").filter($"vec_id" < 8)
+        .unionByName(plantedQueryVecs(s))
       Similarity.cosineTopKIvf(centroids, persisted, queriesDf, k = 5, nprobe = 4)
-        .select($"query_id", $"neighbor_id", $"rank")
+        .select($"query_id", $"neighbor_id", $"rank".cast("long").as("rank"))
+        .localCheckpoint()
+        .filter($"query_id" >= PlantBase && $"rank" <= 2)
         .orderBy($"query_id", $"rank")
     }),
 
@@ -1036,7 +1101,12 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY user_id, h""".stripMargin,
 
     // streaming tumbling drain vs batch mirror restricted to the windows
-    // the final watermark (max ts - 10 min) finalized
+    // the final watermark (max ts - 10 min) finalized. Boundary semantics
+    // verified empirically (graft.tools.ProbeR5): a window whose END equals
+    // the final watermark IS emitted by the AvailableNow drain — Spark's
+    // append-mode eviction is `window.end <= watermark` — so the mirror's
+    // `<=` below matches exactly (round-4 advice suggested strict `<`; the
+    // probe shows non-strict is correct, incl. the exact-boundary case)
     "events_stream_tumbling" ->
       """WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
         |agg AS (
@@ -1059,6 +1129,12 @@ object SparkEntry {
     // of hash values (derivation: SparkEntry.plantedDocs scaladoc)
     "dedup_minhash_lsh" -> plantedGroupsOracle,
     "dedup_simhash" -> plantedGroupsOracle,
+
+    // planted identical-vector queries: cosine exactly 1.0 survives any
+    // sketch and any probed cell, so rank-1/rank-2 are the two identical
+    // corpus vectors id-ordered (derivation: plantedQueryVecs scaladoc)
+    "embed_cosine_lsh" -> plantedAnnOracle,
+    "embed_cosine_ivf" -> plantedAnnOracle,
 
     "embed_selfjoin_lsh" ->
       """SELECT * FROM (VALUES

@@ -56,23 +56,39 @@ object Sessions {
     *     + in-bucket running count (+ the resolved boundary flag).
     *
     * Per-task bound = events per (user, bucket); `bucketSeconds` is the
-    * granularity knob exactly as on [[graft.ops.AsOfJoin.asOfBucketed]]. */
+    * granularity knob exactly as on [[graft.ops.AsOfJoin.asOfBucketed]].
+    *
+    * NULL handling matches [[sessionize]] exactly: null-timestamp rows sort
+    * first in the user's timeline (nulls-first, the plain form's window
+    * order) and each opens its own session; a null user key is its own
+    * partition. Null timestamps ride a SENTINEL bucket (Long.MinValue — a
+    * null bucket would silently fall out of the spine equi-join), and the
+    * spine join-back is null-safe on the user key. */
   def sessionizeBucketed(events: DataFrame, userCol: String, tsCol: String,
                          gapSeconds: Long = 1800L,
                          bucketSeconds: Long = 86400L): DataFrame = {
     val gapMicros = gapSeconds * 1000000L
     val micros = unix_micros(col(tsCol).cast("timestamp"))
-    val bucket = floor(micros / (bucketSeconds * 1000000L)).cast("long")
+    // sentinel bucket for null timestamps: sorts before every real bucket,
+    // mirroring the nulls-first order of sessionize's (user) window
+    val bucket = when(col(tsCol).isNull, lit(Long.MinValue))
+      .otherwise(floor(micros / (bucketSeconds * 1000000L)).cast("long"))
 
     val byBucket = Window.partitionBy(col(userCol), col("__bucket"))
       .orderBy(col(tsCol))
     val inBucket = events
       .withColumn("__bucket", bucket)
       .withColumn("__us", micros)
+      .withColumn("__rn", row_number().over(byBucket))
       .withColumn("__prev", lag(col("__us"), 1).over(byBucket))
-      // boundary-independent flags: rows 2..n of each bucket
-      .withColumn("__new_rest", when(col("__prev").isNotNull &&
-        col("__us") - col("__prev") > gapMicros, 1).otherwise(0))
+      // boundary-independent flags: rows 2..n of each bucket. A null __prev
+      // VALUE on a row that HAS a predecessor is a null timestamp (sentinel
+      // bucket) — sessionize opens a new session there (__prev.isNull ||),
+      // so the in-bucket rule must too; __rn distinguishes "no predecessor"
+      // (boundary, resolved by the spine) from "null-ts predecessor".
+      .withColumn("__new_rest", when(col("__rn") > 1 &&
+        (col("__prev").isNull || col("__us") - col("__prev") > gapMicros), 1)
+        .otherwise(0))
       .withColumn("__in_seq", sum(col("__new_rest")).over(
         byBucket.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
 
@@ -87,15 +103,19 @@ object Sessions {
         col("__first") - col("__prev_last") > gapMicros, 1).otherwise(0))
       .withColumn("__base", coalesce(sum(col("__starts_rest") + col("__first_new"))
         .over(byUser.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
-      .select(col(userCol), col("__bucket"), col("__first_new"), col("__base"))
+      .select(col(userCol).as("__r_user"), col("__bucket").as("__r_bucket"),
+        col("__first_new"), col("__base"))
 
     inBucket
-      .join(resolved, Seq(userCol, "__bucket"))
+      // null-safe on the user key: a null user is a legitimate partition in
+      // sessionize (its own window group) — a plain equi-join would drop it
+      .join(resolved, col(userCol) <=> col("__r_user") &&
+        col("__bucket") === col("__r_bucket"))
       // starts before this bucket + this bucket's boundary start (0/1)
       // + starts among in-bucket rows 2..current (__in_seq is 0 at row 1)
       .withColumn("session_seq",
         col("__base") + col("__first_new") + col("__in_seq"))
-      .drop("__bucket", "__us", "__prev", "__new_rest", "__in_seq",
-        "__first_new", "__base")
+      .drop("__bucket", "__us", "__rn", "__prev", "__new_rest", "__in_seq",
+        "__r_user", "__r_bucket", "__first_new", "__base")
   }
 }

@@ -173,8 +173,16 @@ final class SnapshotStore(spark: SparkSession, workDir: String) {
       val out = fs.create(tmp, true)
       try out.write(s"""{"today": "$requested"}""".getBytes(StandardCharsets.UTF_8))
       finally out.close()
-      fs.rename(tmp, p)
-      requested
+      if (fs.rename(tmp, p)) requested
+      else {
+        // rename-to-existing returns false on HDFS-like filesystems: a
+        // concurrent first run won the race. The pin's whole point is one
+        // authoritative date per workDir — re-read the winner's, or fail
+        // loudly rather than proceed with an unpinned date.
+        fs.delete(tmp, false)
+        if (fs.exists(p)) pinRunDate(requested)
+        else sys.error(s"could not commit run date to $p (rename failed)")
+      }
     }
   }
 

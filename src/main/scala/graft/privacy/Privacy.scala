@@ -53,8 +53,11 @@ object Privacy {
 
   /** Person classification (prune_nonpublic.py:194-215).
     * Returns (subj, cls) with cls ∈ {public, died_recently, possibly_alive}.
-    * `today` is injected for deterministic tests. */
-  def classify(triples: DataFrame, today: LocalDate = LocalDate.now()): DataFrame = {
+    * `today` has NO default on purpose: the cutoff is a run input that must
+    * come from the pipeline's pinned run date (SnapshotStore.pinRunDate) —
+    * a wall-clock default would make a resume across midnight classify
+    * differently than the run it resumes. */
+  def classify(triples: DataFrame, today: LocalDate): DataFrame = {
     val spark = triples.sparkSession
     import spark.implicits._
     val cutoff = java.sql.Date.valueOf(today.minusYears(50))
@@ -101,9 +104,10 @@ object Privacy {
       .select($"fam".as("family"))
   }
 
-  /** Full pruning pass. Returns the redacted triple set. */
+  /** Full pruning pass. Returns the redacted triple set. `today` must be
+    * the pinned run date — no wall-clock default (see [[classify]]). */
   def prunePersons(triples: DataFrame, endpointNames: DataFrame,
-                   today: LocalDate = LocalDate.now()): DataFrame = {
+                   today: LocalDate): DataFrame = {
     val spark = triples.sparkSession
     import spark.implicits._
 

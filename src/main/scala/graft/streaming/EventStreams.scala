@@ -45,7 +45,22 @@ object EventStreams {
     * after the session's last event — purely event-driven state, so the
     * output is deterministic in event time (no wall-clock timeouts).
     * The gap decision runs in micros (micros-precision timestamps agree
-    * with the batch face); emitted `startMs`/`endMs` stay millis. */
+    * with the batch face); emitted `startMs`/`endMs` stay millis.
+    *
+    * MEMORY CONTRACT (the streaming analogue of
+    * [[graft.ops.Sessions.sessionize]]'s hot-key note): cross-batch state
+    * per user is O(1) — one open `SessionState` — but each user's
+    * PER-MICROBATCH slice is buffered and sorted in one task. Bounded
+    * triggers (rate limits, `maxFilesPerTrigger`/`maxBytesPerTrigger` on a
+    * file source) bound that slice; an UNBOUNDED drain (one AvailableNow
+    * batch over a whole history) puts a user's entire history in one
+    * executor's heap — split such drains into multiple batches. The
+    * one-user-100%-of-rows multi-batch spec (EventStreamsSpec) pins the
+    * cross-batch session continuation this contract relies on. Events are
+    * sorted per batch; ACROSS batches the source must deliver a user's
+    * events in nondecreasing event-time order for exact batch parity (an
+    * older-than-open-session straggler folds into the open session rather
+    * than reopening a closed one — closed sessions are immutable). */
   def sessionize(events: Dataset[SessionEvent], gapMs: Long = 30 * 60 * 1000L)
   : Dataset[Session] = {
     val spark = events.sparkSession

@@ -68,4 +68,35 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(closed.head.nEvents == 2)
     assert(closed.head.startMs == ts(0).getTime && closed.head.endMs == ts(5).getTime)
   }
+
+  test("sessionize: one user holding 100% of rows across multiple microbatches") {
+    // Adversarial shape for the memory contract: ONE user owns the whole
+    // stream, fed in bounded microbatches whose boundaries do NOT align
+    // with session boundaries — each batch buffers only its own slice,
+    // cross-batch continuation rides the O(1) open-session state. Events:
+    // 4-min steps with a 19-min jump every 10th event → sessions are exact
+    // runs of 10 under a 10-min gap; 300 events = 30 sessions, the last
+    // still open at end.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val sessions = EventStreams.sessionize(input.toDS(), gapMs = 10 * 60000L)
+    val q = sessions.writeStream.format("memory").queryName("hot_sessions")
+      .outputMode(OutputMode.Append()).start()
+
+    def minute(i: Int): Int = i * 4 + (i / 10) * 15
+    val all = (0 until 300).map(i => SessionEvent(1L, ts(minute(i)), "e"))
+    // chunks of 64: sessions of 10 span batch boundaries
+    all.grouped(64).foreach { chunk => input.addData(chunk); q.processAllAvailable() }
+
+    val closed = spark.table("hot_sessions").as[EventStreams.Session].collect()
+      .sortBy(_.startMs)
+    q.stop()
+    assert(closed.length == 29, s"expected 29 closed sessions, got ${closed.length}")
+    closed.zipWithIndex.foreach { case (sess, k) =>
+      assert(sess.nEvents == 10, s"session $k: ${sess.nEvents} events")
+      assert(sess.startMs == ts(minute(10 * k)).getTime &&
+        sess.endMs == ts(minute(10 * k + 9)).getTime,
+        s"session $k boundaries off: $sess")
+    }
+  }
 }

@@ -276,10 +276,13 @@ class OpsSpec extends AnyFunSuite {
       "fixture must exercise both matched and unmatched rows")
   }
 
-  test("sessionizeBucketed ≡ sessionize: equivalence incl. one-key-100% skew") {
+  test("sessionizeBucketed ≡ sessionize: equivalence incl. one-key-100% skew, null ts, null user") {
     // ALL events on one user — the adversarial shape the per-key window
     // serializes — with gaps engineered around the 1800 s threshold and
-    // bucket boundaries (exact-boundary events, cross-bucket sessions)
+    // bucket boundaries (exact-boundary events, cross-bucket sessions);
+    // plus null timestamps on the hot user (sessionize keeps them, each as
+    // its own session, nulls-first) and a null USER key partition — the
+    // round-4 advice gap: the bucketed join-back silently dropped both.
     val base = 1767225600000000L
     val events = spark.range(3000).selectExpr(
       "CAST(42 AS BIGINT) AS user_id",
@@ -288,11 +291,19 @@ class OpsSpec extends AnyFunSuite {
       s"""timestamp_micros(${base}L +
          |  id * 600000000L + (id % 7) * 300000000L +
          |  CAST(id / 50 AS LONG) * 2000000000L + (id % 3) * 250000L) AS ts""".stripMargin)
+      .unionByName(spark.range(3).selectExpr(
+        "CAST(42 AS BIGINT) AS user_id", "CAST(NULL AS TIMESTAMP) AS ts"))
+      .unionByName(spark.range(5).selectExpr(
+        "CAST(NULL AS BIGINT) AS user_id",
+        s"timestamp_micros(${base}L + id * 2000000000L) AS ts")) // 2000s gaps -> all split
     def run(f: => org.apache.spark.sql.DataFrame) =
       f.select("user_id", "ts", "session_seq").collect()
-        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
-        .sortBy(t => (t._1, t._2.getTime)).toSeq
+        .map(r => (if (r.isNullAt(0)) Long.MinValue else r.getLong(0),
+          Option(r.getTimestamp(1)).map(_.getTime).getOrElse(Long.MinValue),
+          r.getLong(2)))
+        .sorted.toSeq
     val plain = run(graft.ops.Sessions.sessionize(events, "user_id", "ts"))
+    assert(plain.length == 3008, "sessionize must retain null-ts and null-user rows")
     for (bucketSec <- Seq(900L, 3600L, 86400L)) {
       val bucketed = run(graft.ops.Sessions.sessionizeBucketed(
         events, "user_id", "ts", bucketSeconds = bucketSec))
