@@ -80,19 +80,25 @@ object Dedup {
     *    of interleaved duplicate clusters (boilerplate A interleaved with
     *    boilerplate B) recovers every cluster.
     *
-    * Near-dups with UNEQUAL sk in a mixed hot bucket still ride the
-    * representative chain — that residual miss class remains and is the
-    * honest price of the cap. Salting itself stays on xxhash64(id): salt
-    * = f(sk) would put a whole identical cluster in ONE window partition
-    * and re-create the single-task sort the salts exist to prevent. */
+    * An optional SECOND cluster key (`sk2`, an independent signature
+    * element) adds one more O(n) star: a near-dup pair in a mixed hot
+    * bucket is missed by the stars only when BOTH keys differ — for
+    * minhash elements each key matches with probability J (the minhash
+    * property), so the per-pair star-miss probability drops from (1−J) to
+    * (1−J)² at O(n) extra pairs. Near-dups with ALL cluster keys unequal
+    * still ride the representative chain — that residual miss class
+    * remains and is the honest price of the cap. Salting itself stays on
+    * xxhash64(id): salt = f(sk) would put a whole identical cluster in ONE
+    * window partition and re-create the single-task sort the salts exist
+    * to prevent. */
   private[graft] def chainedBucketPairs(banded: DataFrame, maxBucket: Int,
                                         salts: Int): DataFrame = {
     val spark = banded.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
 
-    val hasSk = banded.columns.contains("sk")
-    val skCols = if (hasSk) Seq($"sk") else Nil
+    val skNames = Seq("sk", "sk2").filter(banded.columns.contains(_))
+    val skCols = skNames.map(col)
     val salted = banded.select($"bucket" +: $"id" +: skCols: _*)
       .withColumn("salt", pmod(xxhash64($"id"), lit(salts.max(1))))
     val w = Window.partitionBy($"bucket", $"salt")
@@ -105,7 +111,7 @@ object Dedup {
     // ids only, linear in corpus × bands; at scale that's the standard
     // candidate-index materialization, far cheaper than re-scanning and
     // re-sketching the corpus per branch.
-    val rankOrder = if (hasSk) Seq($"sk", $"id") else Seq($"id")
+    val rankOrder = skCols :+ $"id"
     val ranked = salted
       .withColumn("rk", row_number().over(w.orderBy(rankOrder: _*)))
       .withColumn("cnt", count(lit(1)).over(w))
@@ -154,20 +160,18 @@ object Dedup {
     // per exploded row on each side of the self-join (measured 186 s vs
     // 0.6 s at sf0.1 — the banding sits behind a Generate, outside the
     // projection's codegen stage, so nothing memoizes it per consumer)
-    val clusterStar =
-      if (!hasSk) None
-      else {
-        val clusterReps = ranked.groupBy($"bucket", $"sk")
-          .agg(min($"id").as("id_a"), count(lit(1)).as("n"))
-          .filter($"n" >= 2)
-          .select($"bucket", $"sk", $"id_a")
-        Some(ranked.select($"bucket", $"sk", $"id".as("id_b"))
-          .join(clusterReps, Seq("bucket", "sk"))
-          .filter($"id_a" =!= $"id_b")
-          .select($"id_a", $"id_b"))
-      }
+    val clusterStars = skNames.map { k =>
+      val clusterReps = ranked.groupBy($"bucket", col(k))
+        .agg(min($"id").as("id_a"), count(lit(1)).as("n"))
+        .filter($"n" >= 2)
+        .select($"bucket", col(k), $"id_a")
+      ranked.select($"bucket", col(k), $"id".as("id_b"))
+        .join(clusterReps, Seq("bucket", k))
+        .filter($"id_a" =!= $"id_b")
+        .select($"id_a", $"id_b")
+    }
 
-    clusterStar.foldLeft(withinSalt.unionByName(star).unionByName(acrossSalts))(_ unionByName _)
+    clusterStars.foldLeft(withinSalt.unionByName(star).unionByName(acrossSalts))(_ unionByName _)
       .dropDuplicates("id_a", "id_b")
   }
 
@@ -258,23 +262,27 @@ object Dedup {
     // `numHashes` family lambdas (64× recomputation per row — measured 8×
     // slower); as a multiply-referenced non-cheap expression it blocks
     // CollapseProject and is evaluated once per row
-    // `sk` = first signature element: equal-sk probability between two
-    // docs IS their Jaccard similarity (the minhash property), so the
-    // cluster star / rank adjacency in chainedBucketPairs co-locates
-    // likely duplicates across salt subgroups. The extra syntactic `sig`
-    // reference also pins `sig` as its own projection (multiply-referenced
+    // `sk`/`sk2` = first and last signature elements — two INDEPENDENT
+    // hash families: equal-element probability between two docs IS their
+    // Jaccard similarity (the minhash property), so the cluster stars /
+    // rank adjacency in chainedBucketPairs co-locate likely duplicates
+    // across salt subgroups, and a near-dup pair in a mixed hot bucket is
+    // missed by the stars only when BOTH independent keys differ
+    // (probability (1−J)² instead of (1−J)). The extra syntactic `sig`
+    // references also pin `sig` as its own projection (multiply-referenced
     // non-cheap expressions block CollapseProject).
     val banded = sh
       .withColumn("hs", transform($"sh", s => xxhash64(s)))
       .withColumn("sig", minhashSignatureFromHashes($"hs", numHashes))
       .select($"id", element_at($"sig", 1).as("sk"),
+        element_at($"sig", numHashes).as("sk2"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice($"sig", b * rowsPerBand + lit(1), lit(rowsPerBand))))))
-      .select($"id", $"sk", concat($"pos", lit(":"), $"col").as("bucket"))
+      .select($"id", $"sk", $"sk2", concat($"pos", lit(":"), $"col").as("bucket"))
 
     // id-only candidate pairing (offset-exploded equi-join, salted ranks);
     // shingles join back by id for exact Jaccard verification
-    chainedBucketPairs(banded.select($"bucket", $"id", $"sk"), maxBucket, salts = 16)
+    chainedBucketPairs(banded.select($"bucket", $"id", $"sk", $"sk2"), maxBucket, salts = 16)
       .join(sh.select($"id".as("id_a"), $"sh".as("sh_a")), Seq("id_a"))
       .join(sh.select($"id".as("id_b"), $"sh".as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")))

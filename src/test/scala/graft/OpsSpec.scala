@@ -336,6 +336,29 @@ class OpsSpec extends AnyFunSuite {
       s"each interleaved cluster must stay ONE component, got $comps")
   }
 
+  test("second cluster star: sk disagrees, sk2 recovers the cluster") {
+    // The sk2 motivation shape: near-dups (not identical), so the FIRST
+    // minhash element disagrees across the cluster (sk = id, all distinct
+    // — its star fires nothing), but the independent SECOND element
+    // agrees (sk2 = parity). Two such clusters interleaved in ONE hot
+    // bucket: only the sk2 cluster star can keep each one component,
+    // ranks/representatives alternate between clusters exactly as in the
+    // single-key adversarial case.
+    import spark.implicits._
+    val n = 400
+    val banded = spark.range(n).select(lit("hot").as("bucket"), $"id",
+      $"id".as("sk"), pmod($"id", lit(2)).as("sk2"))
+    val pairs = graft.ops.Dedup.chainedBucketPairs(banded, maxBucket = 4, salts = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val verified = pairs.filter { case (a, b) => a % 2 == b % 2 }
+    assert(pairs.length <= n * (4 + 6), s"comparison bound violated: ${pairs.length}")
+    val comps = graft.ops.Dedup.nearDuplicateGroups(
+        verified.toSeq.toDF("id_a", "id_b"))
+      .select("canonical_id").distinct().as[String].collect().toSet
+    assert(comps == Set("0", "1"),
+      s"sk2 star must keep each cluster ONE component, got $comps")
+  }
+
   test("range join: containment semantics incl. bucket-spanning intervals") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
