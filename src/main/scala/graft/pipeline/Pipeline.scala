@@ -59,13 +59,22 @@ object Pipeline {
     // camps.ttl/warsa graph — the camp LINKER's gazetteer shares its URI
     // minting rule, so location links resolve into this graph.
     store.stage("camps", metrics = Seq("triples" -> count(lit(1)))) {
+      // localCheckpoint between the chain links: constructCamps references
+      // its input ~8 times and remintSubjects its input 4 times — left
+      // lazy, the raw→remint→remint chain (with its shuffles) re-executes
+      // MULTIPLICATIVELY under those references (measured: ~8 s warm on 96
+      // rows, pure job/shuffle overhead). The camp gazetteer is bounded at
+      // any corpus scale (a fixed camp registry, not per-document data),
+      // so local materialization is safe.
       val raw = Gazetteers.rawCampTriples(spark)
       val camps = CampConversion.remintSubjects(raw,
         NS.SCHEMA_WARSA + "PowCamp", NS.SCHEMA_POW + "camp_id",
         NS.SCHEMA_POW + "captivity_location", NS.DATA + "camp_")
+        .localCheckpoint()
       val both = CampConversion.remintSubjects(camps,
         NS.SCHEMA_WARSA + "PowHospital", NS.SCHEMA_POW + "camp_id",
         NS.SCHEMA_POW + "captivity_location", NS.DATA + "hospital_")
+        .localCheckpoint()
       CampConversion.constructCamps(both)
     }
 
@@ -149,8 +158,17 @@ object Pipeline {
     }
 
     // -- 7. event materialization (process.sh:98-124) ---------------------
+    // record_frame is its own snapshot stage: eight event constructors
+    // consume it, and as a lazy plan the person-wide aggregation over the
+    // whole canonical triple set would re-execute once PER constructor
+    // inside the events write job. A materialized (and resumable) snapshot
+    // is the scale-correct sharing mechanism — unlike executor-local
+    // caching it survives executor loss and the write job reads it like
+    // any other columnar input.
+    val frame = store.stage("record_frame") {
+      Events.recordFrame(canonical)
+    }
     val withEvents = store.stage("events") {
-      val frame = Events.recordFrame(canonical)
       val none = canonical.limit(0)
       val mediaPreds = Seq(NS.SCHEMA_WARSA + "sotilaan_aani_magazine",
         NS.SCHEMA_WARSA + "person_document", NS.SCHEMA_WARSA + "documented_in_video",
@@ -173,9 +191,17 @@ object Pipeline {
     }
 
     // -- 8. final store: triples partitioned by predicate -----------------
+    // repartition on (pred_key, 8-way salt) before the partitioned write:
+    // without it every upstream shuffle partition holding rows of a
+    // predicate opens its own file under that predicate's directory —
+    // #shuffle-partitions × #predicates small files (at 1000 executors,
+    // ~hundreds of thousands), which also serializes the manifest's
+    // footer-lineage pass. The salt keeps a hot predicate (rdf:type holds
+    // ~15% of all triples) spread over 8 writer tasks instead of one.
     store.stage("final", partitionCols = Seq("pred_key"),
       metrics = Seq("triples" -> count(lit(1)))) {
       withPredKey(withEvents)
+        .repartition(col("pred_key"), pmod(xxhash64(col("subj")), lit(8)))
     }
   }
 }

@@ -77,6 +77,12 @@ final class SnapshotStore(spark: SparkSession, workDir: String) {
   def write(stage: String, df: DataFrame, partitionCols: Seq[String] = Nil,
             metrics: Seq[(String, Column)] = Nil,
             sortCols: Seq[String] = Nil): Int = {
+    // wall time from job start to manifest assembly rides the manifest
+    // ("sec"): the compute block upstream is lazy, so this write job IS the
+    // stage's execution — persisted per-stage timings are the end-to-end
+    // DAG regression signal a resumed/audited run can read back without
+    // re-running anything
+    val t0 = System.nanoTime()
     val v = latestVersion(stage).map(_ + 1).getOrElse(0)
     val dir = versionDir(stage, v)
 
@@ -122,6 +128,7 @@ final class SnapshotStore(spark: SparkSession, workDir: String) {
          |  "stage": ${js(stage)},
          |  "version": $v,
          |  "rows": $rows,
+         |  "sec": ${f"${(System.nanoTime() - t0) / 1e9}%.1f"},
          |  "partition_columns": [${partitionCols.map(js).mkString(", ")}],
          |  "metrics": {${metricVals.map { case (k, x) => s"${js(k)}: $x" }.mkString(", ")}},
          |  "files": [

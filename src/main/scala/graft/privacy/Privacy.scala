@@ -111,10 +111,18 @@ object Privacy {
     val spark = triples.sparkSession
     import spark.implicits._
 
-    val cls = classify(triples, today)
+    // The classification / common-name aggregates are each consumed by
+    // several of the joins below; left lazy, every consumer re-executes
+    // the aggregation subtree inside the one pruning job. persist (not
+    // localCheckpoint) keeps lineage — fault-tolerant at cluster scale,
+    // spills to disk — and these frames are |persons|- and
+    // |family-names|-sized, orders of magnitude under the triple set.
+    import org.apache.spark.storage.StorageLevel
+    val cls = classify(triples, today).persist(StorageLevel.MEMORY_AND_DISK)
     val hidden = cls.filter($"cls" =!= "public") // health hidden for both
     val alive = cls.filter($"cls" === "possibly_alive")
     val common = commonNames(triples, endpointNames)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // family names of possibly-alive records, flagged common/uncommon
     val aliveFamily = triples.filter($"pred" === (NS.SCHEMA_WARSA + "family_name"))
@@ -123,6 +131,7 @@ object Privacy {
         $"objValue" === $"family", "left")
       .select($"subj", $"objValue".as("family"),
         coalesce($"is_common", lit(false)).as("is_common"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- build the hide-set of (subj, pred) pairs ------------------------
     val hideHealth = hidden.select($"subj")
@@ -137,6 +146,7 @@ object Privacy {
     val captivityOf = triples.filter($"pred" === (NS.SCHEMA_POW + "captivity"))
       .select($"subj", $"objValue".as("captivity"))
       .join(alive.select("subj"), Seq("subj"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val hideCaptivityLabels = captivityOf
       .select($"captivity".as("subj"), lit(NS.SKOS_PREF_LABEL).as("hpred")).distinct()

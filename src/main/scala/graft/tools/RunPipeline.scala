@@ -37,11 +37,13 @@ object RunPipeline {
 
     val store = new SnapshotStore(spark, workDir)
     Seq("camps", "schema", "extract", "extract_errors", "pruned", "linked",
-      "media", "person_links", "sourced", "canonical", "events", "final").foreach { st =>
+      "media", "person_links", "sourced", "canonical", "record_frame",
+      "events", "final").foreach { st =>
       val m = store.readManifest(st)
       val rows = "\"rows\": (\\d+)".r.findFirstMatchIn(m).map(_.group(1)).getOrElse("?")
+      val sec = "\"sec\": ([0-9.]+)".r.findFirstMatchIn(m).map(_.group(1)).getOrElse("?")
       val metrics = "\"metrics\": \\{([^}]*)\\}".r.findFirstMatchIn(m).map(_.group(1)).getOrElse("")
-      println(s"[stage] $st rows=$rows metrics={$metrics}")
+      println(s"[stage] $st rows=$rows sec=$sec metrics={$metrics}")
     }
     println(f"[pipeline] final_triples=$n sec=$sec%.1f workDir=$workDir")
     spark.stop()
