@@ -682,8 +682,14 @@ object SparkEntry {
       def feats(df: DataFrame, key: Column, id: String): DataFrame = df.select(
         key.as(id),
         col(df.columns.find(_.endsWith("nationkey")).get).as(s"nat_$id"),
+        // folded ONCE per record then compared with the folded-variant
+        // comparator — the production scorer's shape (RecordLinkage
+        // pre-folds per record, not per pair); fold is the identity on
+        // these numeric strings, so the DuckDB mirror is unchanged
         when(pmod(key, lit(5)) === 0, lit(null)).otherwise(
-          array(pmod(key, lit(7)).cast("string"), pmod(key, lit(11)).cast("string")))
+          transform(
+            array(pmod(key, lit(7)).cast("string"), pmod(key, lit(11)).cast("string")),
+            graft.link.Normalize.fold(_)))
           .as(s"bp_$id"),
         date_format(date_add(to_date(lit("1900-01-01")),
           pmod(key * 37, lit(9000)).cast("int")), "yyyy-MM-dd").as(s"bb_$id"),
@@ -697,7 +703,7 @@ object SparkEntry {
       val a = feats(t(s, d, "customer"), $"c_custkey", "id_a")
       val b = feats(t(s, d, "supplier"), $"s_suppkey", "id_b")
       val score = Comparators.score(Seq(
-        Comparators.setField(0.30, $"bp_id_a", $"bp_id_b"),
+        Comparators.setFieldFolded(0.30, $"bp_id_a", $"bp_id_b"),
         Comparators.dateField(0.20, $"bb_id_a", $"bb_id_b"),
         Comparators.dateField(0.15, $"db_id_a", $"db_id_b"),
         Comparators.levelField(0.15, $"rl_id_a", $"rl_id_b"),

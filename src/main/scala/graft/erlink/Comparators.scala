@@ -28,12 +28,20 @@ object Comparators {
     * `intersection_comparator` on birth/death place, rank, unit,
     * occupation): 1.0 if the normalized sets intersect, 0.0 if both are
     * non-empty and disjoint. Values are label-folded so literal-space and
-    * URI-space sides compare consistently. */
-  def intersection(a: Column, b: Column): Column = {
-    val af = transform(a, Normalize.fold(_))
-    val bf = transform(b, Normalize.fold(_))
-    when(size(array_intersect(af, bf)) > 0, 1.0).otherwise(0.0)
-  }
+    * URI-space sides compare consistently.
+    *
+    * PER-PAIR COST: folding here runs once per candidate PAIR per field —
+    * a record in k pairs re-folds its sets k times. The scorer therefore
+    * pre-folds once per RECORD ([[RecordLinkage.scorePairs]]) and uses
+    * [[intersectionFolded]]; this raw form stays for callers comparing
+    * un-normalized columns directly. fold is idempotent, so pre-folded
+    * inputs score identically. */
+  def intersection(a: Column, b: Column): Column =
+    intersectionFolded(transform(a, Normalize.fold(_)), transform(b, Normalize.fold(_)))
+
+  /** [[intersection]] over already-folded sets. */
+  def intersectionFolded(a: Column, b: Column): Column =
+    when(size(array_intersect(a, b)) > 0, 1.0).otherwise(0.0)
 
   /** DateTime comparator with fuzzy=False (linker.py:179-182): exact match
     * 1.0, same calendar year 0.5 (the reference's dedupe DateTime
@@ -62,7 +70,10 @@ object Comparators {
   /** Name comparator: Jaro-Winkler over folded strings (the dedupe String
     * type is JW-based), via the native codegen expression. */
   def name(a: Column, b: Column): Column =
-    Normalize.jaroWinkler(Normalize.fold(a), Normalize.fold(b))
+    nameFolded(Normalize.fold(a), Normalize.fold(b))
+
+  /** [[name]] over already-folded strings. */
+  def nameFolded(a: Column, b: Column): Column = Normalize.jaroWinkler(a, b)
 
   /** One weighted field: (weight, rawScore, bothPresent). */
   final case class Field(weight: Double, score: Column, present: Column)
@@ -70,11 +81,18 @@ object Comparators {
   def stringField(w: Double, a: Column, b: Column): Field =
     Field(w, name(a, b), a.isNotNull && b.isNotNull)
 
+  def stringFieldFolded(w: Double, a: Column, b: Column): Field =
+    Field(w, nameFolded(a, b), a.isNotNull && b.isNotNull)
+
   def dateField(w: Double, a: Column, b: Column): Field =
     Field(w, dateEq(a, b), a.isNotNull && b.isNotNull)
 
   def setField(w: Double, a: Column, b: Column): Field =
     Field(w, intersection(a, b),
+      a.isNotNull && b.isNotNull && size(a) > 0 && size(b) > 0)
+
+  def setFieldFolded(w: Double, a: Column, b: Column): Field =
+    Field(w, intersectionFolded(a, b),
       a.isNotNull && b.isNotNull && size(a) > 0 && size(b) > 0)
 
   def levelField(w: Double, a: Column, b: Column): Field =
@@ -99,21 +117,26 @@ object Comparators {
     * sum to 1.0 — names dominate (dedupe's learned models consistently
     * weigh exact-identity fields highest), multi-valued context fields
     * share the rest. Order matters for float reproducibility. */
-  def prisonerScore(p: PrisonerCols, g: PrisonerCols): Column = score(Seq(
-    stringField(0.15, p.given, g.given),
-    stringField(0.17, p.family, g.family),
-    setField(0.08, p.birthPlace, g.birthPlace),
-    dateField(0.08, p.birthBegin, g.birthBegin),
-    dateField(0.08, p.birthEnd, g.birthEnd),
-    dateField(0.05, p.deathBegin, g.deathBegin),
-    dateField(0.05, p.deathEnd, g.deathEnd),
-    setField(0.05, p.deathPlace, g.deathPlace),
-    activityField(0.04, p.activityEnd, g.activityEnd),
-    setField(0.08, p.rank, g.rank),
-    levelField(0.05, p.rankLevel, g.rankLevel),
-    setField(0.06, p.unit, g.unit),
-    setField(0.06, p.occupation, g.occupation),
-  ))
+  def prisonerScore(p: PrisonerCols, g: PrisonerCols,
+                    preFolded: Boolean = false): Column = {
+    val str = if (preFolded) stringFieldFolded _ else stringField _
+    val set = if (preFolded) setFieldFolded _ else setField _
+    score(Seq(
+      str(0.15, p.given, g.given),
+      str(0.17, p.family, g.family),
+      set(0.08, p.birthPlace, g.birthPlace),
+      dateField(0.08, p.birthBegin, g.birthBegin),
+      dateField(0.08, p.birthEnd, g.birthEnd),
+      dateField(0.05, p.deathBegin, g.deathBegin),
+      dateField(0.05, p.deathEnd, g.deathEnd),
+      set(0.05, p.deathPlace, g.deathPlace),
+      activityField(0.04, p.activityEnd, g.activityEnd),
+      set(0.08, p.rank, g.rank),
+      levelField(0.05, p.rankLevel, g.rankLevel),
+      set(0.06, p.unit, g.unit),
+      set(0.06, p.occupation, g.occupation),
+    ))
+  }
 
   /** Column bundle for one side of the comparison. */
   final case class PrisonerCols(

@@ -161,12 +161,25 @@ object RecordLinkage {
     val spark = pairs.sparkSession
     import spark.implicits._
 
+    // pre-fold the name strings and the 5 multi-valued sets ONCE PER
+    // RECORD: the comparators would otherwise re-run the normalization
+    // regexes per candidate PAIR per field (a record in k pairs folds k
+    // times) — at ~600k blocked pairs that regex work dominates the
+    // scorer. fold is idempotent, so the scores are bit-identical.
     def side(df: DataFrame, idIn: String, idOut: String, pre: String): DataFrame = {
       val f = withOptionalFields(df)
+      val foldedStrings = Set("given", "family")
+      val foldedSets = Set("birth_place", "death_place", "rank", "unit", "occupation")
       f.select(col(idIn).as(idOut) +: Seq("given", "family", "birth_place",
         "birth_begin", "birth_end", "death_begin", "death_end", "death_place",
         "activity_end", "rank", "rank_level", "unit", "occupation")
-        .map(c => col(c).as(pre + c)): _*)
+        .map { c =>
+          val v =
+            if (foldedStrings(c)) Normalize.fold(col(c))
+            else if (foldedSets(c)) transform(col(c), Normalize.fold(_))
+            else col(c)
+          v.as(pre + c)
+        }: _*)
     }
     def cols(pre: String): Comparators.PrisonerCols = Comparators.PrisonerCols(
       given = col(pre + "given"), family = col(pre + "family"),
@@ -181,7 +194,8 @@ object RecordLinkage {
     val g = side(personsGaz, "person", "person", "g_")
 
     val scored = pairs.join(p, Seq("prisoner")).join(g, Seq("person"))
-      .withColumn("score", Comparators.prisonerScore(cols("p_"), cols("g_")))
+      .withColumn("score",
+        Comparators.prisonerScore(cols("p_"), cols("g_"), preFolded = true))
 
     // best person per prisoner, then threshold (top-1 mirrors dedupe's
     // one-to-one preference)
