@@ -178,13 +178,25 @@ object SparkEntry {
   private def drainToParquet(s: SparkSession, streamed: DataFrame,
                              src: StreamedSource): DataFrame = {
     val outDir = src.tmp.resolve("out").toString
-    streamed.writeStream.format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", src.tmp.resolve("ckpt").toString)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-      .awaitTermination()
+    // A stateful query's state-store count = spark.sql.shuffle.partitions
+    // AT FIRST START (pinned into the checkpoint for the query's life).
+    // The session's batch setting (2-3× cores) sizes scan/join exchanges;
+    // for a stateful stream it would spin up that many state-store
+    // instances, each paying per-microbatch delta/snapshot/commit file IO
+    // regardless of data volume. 8 fits this drain's key cardinality;
+    // production sizes it to rate × keys since it's fixed per checkpoint.
+    // Restored after the drain — batch queries keep the session setting.
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      streamed.writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", src.tmp.resolve("ckpt").toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.read.parquet(outDir)
   }
 
