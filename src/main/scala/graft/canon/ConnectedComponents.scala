@@ -41,6 +41,13 @@ object ConnectedComponents {
       .unionByName(edges.select($"dst".as("src"), $"src".as("dst")))
       .filter($"src" =!= $"dst")
       .distinct()
+      // partition on the LOOP's join key before checkpointing: LogicalRDD
+      // preserves the hash partitioning, so every iteration's edge⋈label
+      // join shuffles only the (|nodes|-sized) label side — without this
+      // the (much larger) edge set re-shuffles once per round, O(rounds ×
+      // |edges|) exchange bytes instead of the one-time O(|edges|) here
+      // (verified: graft.tools.ProbeCc, 2 → 1 exchanges per join)
+      .repartition($"dst")
       .localCheckpoint()
 
     var labels = sym.select($"src".as("node")).distinct()
