@@ -28,6 +28,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(Set("p", "q", "r", "s").forall(comps(_) == "p"))
   }
 
+  test("connected components: checkpointed edge set keeps its hash partitioning") {
+    // the fixpoint's scale contract: the per-iteration edge⋈label join must
+    // not re-shuffle the edge set (ConnectedComponents pre-partitions on
+    // dst before the localCheckpoint, and LogicalRDD preserves it). Pin the
+    // planner behavior directly: a join on the partitioning key against a
+    // non-broadcast side plans an Exchange ONLY on the label side.
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val sym = (1L to 1000L).map(i => (i, i % 50)).toDF("src", "dst")
+        .repartition($"dst").localCheckpoint()
+      val labels = (0L to 49L).map(i => (i, i)).toDF("dst2", "comp")
+      val joined = sym.join(labels, $"dst" === $"dst2")
+      joined.count()
+      val exchanges = "Exchange hashpartitioning".r
+        .findAllIn(joined.queryExecution.executedPlan.toString).size
+      assert(exchanges == 1,
+        s"expected only the label-side exchange, got $exchanges")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("snapshot store: versioning, manifest, resume") {
     val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
     val store = new SnapshotStore(spark, dir)
