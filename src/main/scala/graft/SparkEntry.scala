@@ -76,9 +76,12 @@ object SparkEntry {
   /** Planted embedding fixture: two identical-vector pairs + two
     * orthogonal singles (one-hot axes → pairwise cosine exactly 0, so
     * only the identical pairs can verify at any positive threshold). */
+  /** One-hot planted vector — shared by corpus and query plants so the
+    * cosine-1.0 oracle derivation can never desynchronize on dim/dtype. */
+  private def oneHot(k: Int): Array[Float] =
+    Array.tabulate(64)(i => if (i == k) 1.0f else 0.0f)
   private def plantedVecs(s: SparkSession): DataFrame = {
     import s.implicits._
-    def oneHot(k: Int) = Array.tabulate(64)(i => if (i == k) 1.0f else 0.0f)
     Seq(
       (PlantBase + 40, oneHot(0)), (PlantBase + 41, oneHot(0)),
       (PlantBase + 50, oneHot(1)), (PlantBase + 51, oneHot(1)),
@@ -98,7 +101,6 @@ object SparkEntry {
     * gate rows (round-4 verdict #1). */
   private def plantedQueryVecs(s: SparkSession): DataFrame = {
     import s.implicits._
-    def oneHot(k: Int) = Array.tabulate(64)(i => if (i == k) 1.0f else 0.0f)
     Seq((PlantBase + 70, oneHot(0)), (PlantBase + 71, oneHot(1)))
       .toDF("vec_id", "embedding")
   }
@@ -209,10 +211,13 @@ object SparkEntry {
       val emb = tWide(s, d, "embeddings").select("vec_id", "embedding")
         .unionByName(plantedVecs(s))
       val (c, indexed) = Similarity.ivfIndex(emb, k = 16, iters = 3)
-      // FIXED per-corpus location (overwritten per JVM, never a fresh leak
-      // per run): the index is a build artifact, not a temp file
-      val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_ivf_idx" + d.replaceAll("[^A-Za-z0-9]+", "_")).toString
+      // per-(JVM, corpus) location, deleted at JVM exit (cleanupAtExit):
+      // one index build per corpus per process (the ivfCache key), no leak
+      // across runs, and — unlike a fixed shared path — no cross-process
+      // race where another JVM's overwrite deletes the directory out from
+      // under this one's lazy reads
+      val p = cleanupAtExit(
+        java.nio.file.Files.createTempDirectory("graft_ivf_idx")).toString
       Similarity.writeIvfIndex(indexed, p)
       (c, p)
     })

@@ -171,7 +171,15 @@ object Dedup {
         .select($"id_a", $"id_b")
     }
 
+    // canonicalize orientation BEFORE dedup: the offset/star branches
+    // orient pairs rep-first under the (sk, sk2, id) rank order while the
+    // cluster stars orient min-id-first — with sk2 in the rank order those
+    // two conventions can disagree inside an equal-sk cluster (min-RANK ≠
+    // min-ID when sk2 differs), and dropDuplicates alone would let the
+    // same pair through in both orientations
     clusterStars.foldLeft(withinSalt.unionByName(star).unionByName(acrossSalts))(_ unionByName _)
+      .select(least($"id_a", $"id_b").as("id_a"),
+        greatest($"id_a", $"id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
   }
 

@@ -99,6 +99,12 @@ object Pipeline {
     val pruned = store.stage("pruned", sortCols = Seq("pred")) {
       Privacy.prunePersons(extracted, Gazetteers.casualtiesNameCounts(spark), today)
     }
+    // the pruning pass persists its person-sized classification frames for
+    // the duration of the stage write; once the snapshot is committed (or
+    // was resumed) nothing reads them again — release the executor storage
+    // instead of pinning it for the remaining stages. Nothing else is
+    // cached at this point in the DAG, so the blanket clear is exact.
+    spark.catalog.clearCache()
 
     // -- 3. linking (process.sh:30-96) ------------------------------------
     // media linkers return (links, media-doc entities): links join the
@@ -165,10 +171,15 @@ object Pipeline {
     // is the scale-correct sharing mechanism — unlike executor-local
     // caching it survives executor loss and the write job reads it like
     // any other columnar input.
-    val frame = store.stage("record_frame") {
-      Events.recordFrame(canonical)
-    }
+    // NESTED inside the events compute block: when 'events' is already
+    // committed (resume), its by-name body never evaluates, so the
+    // record_frame stage — whose only consumer is this block — is neither
+    // computed nor written; a fresh run still materializes it first, and a
+    // kill between the two commits resumes from the record_frame snapshot.
     val withEvents = store.stage("events") {
+      val frame = store.stage("record_frame") {
+        Events.recordFrame(canonical)
+      }
       val none = canonical.limit(0)
       val mediaPreds = Seq(NS.SCHEMA_WARSA + "sotilaan_aani_magazine",
         NS.SCHEMA_WARSA + "person_document", NS.SCHEMA_WARSA + "documented_in_video",

@@ -128,7 +128,8 @@ final class SnapshotStore(spark: SparkSession, workDir: String) {
          |  "stage": ${js(stage)},
          |  "version": $v,
          |  "rows": $rows,
-         |  "sec": ${f"${(System.nanoTime() - t0) / 1e9}%.1f"},
+         |  "sec": ${String.format(java.util.Locale.ROOT, "%.1f",
+              Double.box((System.nanoTime() - t0) / 1e9))},
          |  "partition_columns": [${partitionCols.map(js).mkString(", ")}],
          |  "metrics": {${metricVals.map { case (k, x) => s"${js(k)}: $x" }.mkString(", ")}},
          |  "files": [

@@ -359,6 +359,25 @@ class OpsSpec extends AnyFunSuite {
       s"sk2 star must keep each cluster ONE component, got $comps")
   }
 
+  test("pair orientation is canonical: no (a,b)+(b,a) double emission") {
+    // With sk2 in the rank order, the offset/star branches orient pairs
+    // rep-first under (sk, sk2, id) while the cluster stars orient
+    // min-id-first — inside an equal-sk cluster whose sk2 differs those
+    // conventions can disagree, and before the least/greatest
+    // canonicalization the same pair slipped through dropDuplicates in
+    // both orientations. Shape: equal sk, sk2 ANTI-correlated with id
+    // (min-RANK row = max-ID row), small enough that every branch fires.
+    import spark.implicits._
+    val n = 40
+    val banded = spark.range(n).select(lit("hot").as("bucket"), $"id",
+      lit(7L).as("sk"), (lit(n.toLong) - $"id").as("sk2"))
+    val pairs = graft.ops.Dedup.chainedBucketPairs(banded, maxBucket = 4, salts = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (a, b) => a < b },
+      s"non-canonical orientation emitted: ${pairs.filterNot { case (a, b) => a < b }.take(5).toSeq}")
+    assert(pairs.distinct.length == pairs.length, "duplicate pairs emitted")
+  }
+
   test("range join: containment semantics incl. bucket-spanning intervals") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
