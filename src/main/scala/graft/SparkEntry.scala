@@ -563,6 +563,11 @@ object SparkEntry {
     }),
 
     // ---- text analysis: token counting ------------------------------------
+    // (the HEAVY per-doc text ops — repetition's per-doc sort+fold,
+    // pii_scrub's regex cascade — read via tWide: CPU-bound and filterless,
+    // a single-split local parquet serializes them into ONE task. The light
+    // counting ops stay on the plain scan: measured, the round-robin
+    // exchange costs more than the parallelism buys below ~0.5 s of work.)
     "text_token_count" -> ((s, d) => {
       import s.implicits._
       val docs = t(s, d, "documents")
@@ -616,7 +621,7 @@ object SparkEntry {
             lit(".7 via https://example.org/p/"), $"doc_id".cast("string")))
           .otherwise(lit("")))
       val counts = TextAnalysis.piiCounts(aug)
-      t(s, d, "documents")
+      tWide(s, d, "documents")
         .select(Seq($"doc_id") ++ counts.map { case (n, c) => c.cast("long").as(n) } :+
           TextAnalysis.scrubPii(aug).as("scrubbed"): _*)
         .orderBy($"doc_id")
@@ -631,7 +636,7 @@ object SparkEntry {
     // ---- text analysis: repetition signals (Gopher top-bigram fraction) ---
     "text_repetition" -> ((s, d) => {
       import s.implicits._
-      TextAnalysis.repetitionCounts(t(s, d, "documents"), "doc_id", "text")
+      TextAnalysis.repetitionCounts(tWide(s, d, "documents"), "doc_id", "text")
         .orderBy($"doc_id")
     }),
 
@@ -717,7 +722,12 @@ object SparkEntry {
           .as(s"rl_$id"),
         date_format(date_add(to_date(lit("1945-01-01")),
           pmod(key, lit(700)).cast("int")), "yyyy-MM-dd").as(s"ae_$id"))
-      val a = feats(t(s, d, "customer"), $"c_custkey", "id_a")
+      // probe side spread across cores (tWide): the supplier side is
+      // broadcast, so the scored BroadcastHashJoin runs on the CUSTOMER
+      // scan's partitioning — a single-split local parquet serialized the
+      // whole 13-field scoring pass into one task (measured 2.1 s, one
+      // core busy); same gated repartition every CPU-bound op uses
+      val a = feats(tWide(s, d, "customer"), $"c_custkey", "id_a")
       val b = feats(t(s, d, "supplier"), $"s_suppkey", "id_b")
       val score = Comparators.score(Seq(
         Comparators.setFieldFolded(0.30, $"bp_id_a", $"bp_id_b"),

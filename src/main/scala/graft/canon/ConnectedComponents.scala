@@ -29,25 +29,46 @@ import graft.model.NS
 object ConnectedComponents {
 
   /** edges(src,dst) → (node, component) where component = min node id
-    * (lexicographic) in the node's connected component. */
-  def components(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    * (lexicographic) in the node's connected component.
+    *
+    * `targetRowsPerPartition` sizes the loop's edge partitioning to the
+    * DATA (edge rows ≈ two ids ≈ ~50 B, so 2M rows ≈ ~100 MB — guide-sized
+    * shuffle partitions), capped at defaultParallelism. A fixed
+    * spark.sql.shuffle.partitions count here made every CC iteration run
+    * 64 near-empty tasks/side on a ~500-edge gate graph — pure scheduling
+    * overhead, several iterations deep (the round-5 dedup_groups
+    * regression: 3.8 → 5.4-7.6 s). */
+  def components(edges: DataFrame, maxIter: Int = 50,
+                 targetRowsPerPartition: Long = 2000000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    // materialize the symmetric edge set ONCE — the loop touches it every
-    // iteration, and an expensive upstream plan (e.g. a similarity join
-    // producing the pairs) must not re-execute per iteration
-    val sym = edges.select($"src", $"dst")
-      .unionByName(edges.select($"dst".as("src"), $"src".as("dst")))
+    // materialize the DIRECTED edge list once BEFORE symmetrizing: the
+    // union references `edges` twice, so an expensive upstream plan (e.g.
+    // the similarity join producing the pairs) would otherwise execute once
+    // per branch (measured ~2× the verification cost at sf0.1); the stored
+    // frame is the id-pair list only.
+    val e0 = edges.select($"src", $"dst").localCheckpoint()
+    // then materialize the symmetric distinct edge set — the loop touches
+    // it every iteration — in two steps: checkpoint first (so the one
+    // cheap sizing count below re-reads stored rows, not the plan), then
+    // re-partition onto the loop's join key with a data-sized count.
+    val symPre = e0
+      .unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
       .filter($"src" =!= $"dst")
       .distinct()
-      // partition on the LOOP's join key before checkpointing: LogicalRDD
-      // preserves the hash partitioning, so every iteration's edge⋈label
-      // join shuffles only the (|nodes|-sized) label side — without this
-      // the (much larger) edge set re-shuffles once per round, O(rounds ×
-      // |edges|) exchange bytes instead of the one-time O(|edges|) here
-      // (verified: graft.tools.ProbeCc, 2 → 1 exchanges per join)
-      .repartition($"dst")
+      .localCheckpoint()
+    val edgeParts = math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      math.max(1L, symPre.count() / targetRowsPerPartition)).toInt
+    // partition on the LOOP's join key before checkpointing: LogicalRDD
+    // preserves the hash partitioning, so every iteration's edge⋈label
+    // join shuffles only the (|nodes|-sized) label side — without this
+    // the (much larger) edge set re-shuffles once per round, O(rounds ×
+    // |edges|) exchange bytes instead of the one-time O(|edges|) here
+    // (verified: graft.tools.ProbeCc, 2 → 1 exchanges per join)
+    val sym = symPre
+      .repartition(edgeParts, $"dst")
       .localCheckpoint()
 
     var labels = sym.select($"src".as("node")).distinct()
