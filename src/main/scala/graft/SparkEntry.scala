@@ -670,8 +670,12 @@ object SparkEntry {
     // hash-exact) --------------------------------------------------------
     "embed_cosine_topk" -> ((s, d) => {
       import s.implicits._
+      // corpus side spread (tWide) for the scoring pass; the ≤8-row QUERY
+      // side reads the plain scan — the filter pushes below tWide's
+      // repartition, so routing it through tWide only added a 32-partition
+      // shuffle stage (and a broadcast-build job) for a handful of rows
       val emb = tWide(s, d, "embeddings")
-      Similarity.cosineTopK(emb, emb.filter($"vec_id" < 8), k = 5)
+      Similarity.cosineTopK(emb, t(s, d, "embeddings").filter($"vec_id" < 8), k = 5)
         .select($"query_id", $"neighbor_id", $"rank".cast("long").as("rank"))
         .orderBy($"query_id", $"rank")
     }),
@@ -683,9 +687,11 @@ object SparkEntry {
     // filter would otherwise push below it and prune the production work) -
     "embed_cosine_lsh" -> ((s, d) => {
       import s.implicits._
-      val emb = tWide(s, d, "embeddings").select($"vec_id", $"embedding")
-      val corpus = emb.unionByName(plantedVecs(s))
-      val queriesDf = emb.filter($"vec_id" < 8).unionByName(plantedQueryVecs(s))
+      val corpus = tWide(s, d, "embeddings").select($"vec_id", $"embedding")
+        .unionByName(plantedVecs(s))
+      // plain scan for the tiny query side — see embed_cosine_topk
+      val queriesDf = t(s, d, "embeddings").select($"vec_id", $"embedding")
+        .filter($"vec_id" < 8).unionByName(plantedQueryVecs(s))
       Similarity.cosineTopKLsh(corpus, queriesDf, k = 5, bits = 8)
         .select($"query_id", $"neighbor_id", $"rank".cast("long").as("rank"))
         .localCheckpoint()
@@ -750,7 +756,8 @@ object SparkEntry {
     "embed_cosine_ivf" -> ((s, d) => {
       import s.implicits._
       val (centroids, persisted) = ivfPersisted(s, d)
-      val queriesDf = tWide(s, d, "embeddings")
+      // plain scan for the tiny query side — see embed_cosine_topk
+      val queriesDf = t(s, d, "embeddings")
         .select("vec_id", "embedding").filter($"vec_id" < 8)
         .unionByName(plantedQueryVecs(s))
       Similarity.cosineTopKIvf(centroids, persisted, queriesDf, k = 5, nprobe = 4)

@@ -43,18 +43,18 @@ object ConnectedComponents {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    // materialize the DIRECTED edge list once BEFORE symmetrizing: the
-    // union references `edges` twice, so an expensive upstream plan (e.g.
-    // the similarity join producing the pairs) would otherwise execute once
-    // per branch (measured ~2× the verification cost at sf0.1); the stored
-    // frame is the id-pair list only.
-    val e0 = edges.select($"src", $"dst").localCheckpoint()
-    // then materialize the symmetric distinct edge set — the loop touches
-    // it every iteration — in two steps: checkpoint first (so the one
-    // cheap sizing count below re-reads stored rows, not the plan), then
-    // re-partition onto the loop's join key with a data-sized count.
-    val symPre = e0
-      .unionByName(e0.select($"dst".as("src"), $"src".as("dst")))
+    // materialize the symmetric distinct edge set ONCE — the loop touches
+    // it every iteration, and an expensive upstream plan (e.g. the
+    // similarity join producing the pairs) must not re-execute per round.
+    // Two steps: checkpoint first (so the one cheap sizing count below
+    // re-reads stored rows, not the plan), then re-partition onto the
+    // loop's join key with a data-sized count. The union's two upstream
+    // references execute CONCURRENTLY inside this one job (an extra
+    // pre-union checkpoint of the directed list was measured as a net
+    // LOSS at gate scale: it serializes another materialization job for
+    // work the scheduler otherwise overlaps).
+    val symPre = edges.select($"src", $"dst")
+      .unionByName(edges.select($"dst".as("src"), $"src".as("dst")))
       .filter($"src" =!= $"dst")
       .distinct()
       .localCheckpoint()

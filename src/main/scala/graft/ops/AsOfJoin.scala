@@ -128,13 +128,23 @@ object AsOfJoin {
       .withColumn("__side", lit(1))
       .withColumn("__pay", lit(null).cast(payT))
       .withColumn("__bucket", bucketOf(col(leftTs)))
-    var r = right
+    // the right side is referenced THREE times below (lastPerBucket, the
+    // spine, and the union) and Catalyst's exchange reuse does not fire
+    // across the differently-projected consumers — without this checkpoint
+    // an expensive right-side plan (the gate row's per-(user, hour) window
+    // over the event table) executes once per consumer. The materialized
+    // frame is the prepared (keys, ts, payload struct, bucket) projection —
+    // the dimension-history side of an as-of join, the smaller side by
+    // contract; storing it once beats three scans+windows of its plan.
+    val rCore = right
       .filter(col(rightTs).isNotNull)
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
       .withColumn("__pay", struct(payloads.map(col): _*))
       .withColumn("__bucket", bucketOf(col(rightTs)))
       .select((keys :+ "__ts" :+ "__side" :+ "__pay" :+ "__bucket").map(col): _*)
+      .localCheckpoint()
+    var r = rCore
     leftCols.filterNot(keys.contains).foreach { c =>
       r = r.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }

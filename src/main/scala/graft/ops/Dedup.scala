@@ -221,16 +221,25 @@ object Dedup {
     * hashed ONCE to a long, then the `numHashes` families re-mix the longs
     * (fixed-width) — not `numHashes` string hashes per shingle.
     *
-    * `hs` SHOULD be an attribute (a materialized column), and the families
-    * are deliberately an `array(...)` of `numHashes` separate expressions —
-    * NOT `transform(sequence(...), k => ...hs...)`. The transform form
-    * references `hs` once syntactically INSIDE a lambda body, so
-    * CollapseProject inlines the upstream shingle+hash projection into the
-    * lambda, where it is then re-evaluated once per family (measured 8×
-    * slowdown of the whole minhash path). `numHashes` syntactic references
-    * to a non-cheap attribute block the collapse and keep `hs` evaluated
-    * once per row. */
+    * One native codegen expression ([[graft.functions.MinhashSignatureExpression]])
+    * computing all family minima in a single pass. The expression-tree form
+    * it replaced ([[minhashSignatureReference]]) evaluated `numHashes`
+    * separate `array_min(transform(...))` subtrees — `numHashes` array
+    * allocations per row and the k-independent inner `hashLong(h, 42)`
+    * re-derived once per family (measured: the signature pass dominated the
+    * minhash bench query at ~1.3 s of 2.1 s). Output is bit-identical
+    * (MinhashSignatureSpec pins it against the reference tree). */
   def minhashSignatureFromHashes(hs: Column, numHashes: Int): Column =
+    graft.functions.MinhashSignatureExpression.minhashSignature(hs, numHashes)
+
+  /** The original expression-tree formulation, kept as the equivalence
+    * REFERENCE for the native expression (see MinhashSignatureSpec — the
+    * two must agree bit-for-bit on every input, including null elements
+    * and empty arrays). `hs` must be a materialized attribute: the
+    * `numHashes` syntactic references block CollapseProject from inlining
+    * the upstream shingle+hash projection into the lambdas (the measured
+    * 8× trap documented in round 3). */
+  private[graft] def minhashSignatureReference(hs: Column, numHashes: Int): Column =
     array((0 until numHashes).map(k =>
       array_min(transform(hs, h => xxhash64(h, lit(k))))): _*)
 
