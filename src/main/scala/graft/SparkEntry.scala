@@ -513,9 +513,14 @@ object SparkEntry {
     }),
 
     // ---- dedup: exact (hash groupBy) --------------------------------------
+    // plain scan, NOT tWide: md5 is cheap per row and the partial (digest)
+    // aggregation runs inside the scan stage, so the only exchange carries
+    // 32-byte digest groups — routing through tWide round-robin-shuffled
+    // the full text payload first just to parallelize a trivial hash
+    // (guide: aggregate before you shuffle / project before the exchange)
     "dedup_exact" -> ((s, d) => {
       import s.implicits._
-      Dedup.exactDuplicateGroups(tWide(s, d, "documents"), "doc_id", "text")
+      Dedup.exactDuplicateGroups(t(s, d, "documents"), "doc_id", "text")
         .select($"digest", $"n_docs", $"canonical_id")
         .orderBy($"digest")
     }),

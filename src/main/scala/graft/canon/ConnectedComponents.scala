@@ -31,36 +31,38 @@ object ConnectedComponents {
   /** edges(src,dst) → (node, component) where component = min node id
     * (lexicographic) in the node's connected component.
     *
-    * `targetRowsPerPartition` sizes the loop's edge partitioning to the
-    * DATA (edge rows ≈ two ids ≈ ~50 B, so 2M rows ≈ ~100 MB — guide-sized
-    * shuffle partitions), capped at defaultParallelism. A fixed
-    * spark.sql.shuffle.partitions count here made every CC iteration run
-    * 64 near-empty tasks/side on a ~500-edge gate graph — pure scheduling
-    * overhead, several iterations deep (the round-5 dedup_groups
-    * regression: 3.8 → 5.4-7.6 s). */
-  def components(edges: DataFrame, maxIter: Int = 50,
-                 targetRowsPerPartition: Long = 2000000L): DataFrame = {
+    * The loop's edge partitioning is sized to the DATA, not to
+    * spark.sql.shuffle.partitions: a fixed count here made every CC
+    * iteration run 64 near-empty tasks/side on a ~500-edge gate graph —
+    * pure scheduling overhead, several iterations deep (the round-5
+    * dedup_groups regression: 3.8 → 5.4-7.6 s). The count comes free from
+    * the materialized edge set: AQE's byte-based coalescing already sized
+    * its partitions (advisory bytes per partition), so reusing that count
+    * needs no extra sizing job; with AQE disabled it degrades to the
+    * session shuffle setting — the pre-round-6 shape, no worse. */
+  def components(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
     // materialize the symmetric distinct edge set ONCE — the loop touches
     // it every iteration, and an expensive upstream plan (e.g. the
     // similarity join producing the pairs) must not re-execute per round.
-    // Two steps: checkpoint first (so the one cheap sizing count below
-    // re-reads stored rows, not the plan), then re-partition onto the
-    // loop's join key with a data-sized count. The union's two upstream
-    // references execute CONCURRENTLY inside this one job (an extra
-    // pre-union checkpoint of the directed list was measured as a net
-    // LOSS at gate scale: it serializes another materialization job for
-    // work the scheduler otherwise overlaps).
-    val symPre = edges.select($"src", $"dst")
-      .unionByName(edges.select($"dst".as("src"), $"src".as("dst")))
+    // Symmetrization is a single-pass EXPLODE (each edge emits both
+    // orientations), not a self-union: the union form referenced `edges`
+    // twice and executed the upstream pairs plan once per branch — at any
+    // scale that is a second full candidate-generation + verification
+    // pass for rows a projection can emit for free. Then checkpoint (AQE
+    // coalesces the distinct's exchange to byte-sized partitions) and
+    // re-partition onto the loop's join key keeping that data-sized count.
+    val symPre = edges
+      .select(explode(array(
+        struct($"src", $"dst"),
+        struct($"dst".as("src"), $"src".as("dst")))).as("e"))
+      .select($"e.src", $"e.dst")
       .filter($"src" =!= $"dst")
       .distinct()
       .localCheckpoint()
-    val edgeParts = math.min(
-      spark.sparkContext.defaultParallelism.toLong,
-      math.max(1L, symPre.count() / targetRowsPerPartition)).toInt
+    val edgeParts = math.max(1, symPre.rdd.getNumPartitions)
     // partition on the LOOP's join key before checkpointing: LogicalRDD
     // preserves the hash partitioning, so every iteration's edge⋈label
     // join shuffles only the (|nodes|-sized) label side — without this
