@@ -73,9 +73,13 @@ object ConnectedComponents {
       .repartition(edgeParts, $"dst")
       .localCheckpoint()
 
+    // NOT checkpointed: only iteration 0 reads this plan (every later
+    // round reads the previous round's checkpointed labels), and its two
+    // references there re-run a tiny distinct over the checkpointed edge
+    // set concurrently — cheaper than another serial materialization
+    // barrier before the loop can start.
     var labels = sym.select($"src".as("node")).distinct()
       .withColumn("comp", $"node")
-      .localCheckpoint()
 
     // one accumulator for the whole fixpoint (per-iteration accumulators
     // get GC'd and make later executor heartbeats log benign
