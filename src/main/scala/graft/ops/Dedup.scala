@@ -409,7 +409,13 @@ object Dedup {
     val perDoc = grams.join(dfc, Seq("g"))
       .groupBy($"id")
       .agg(sort_array(collect_list(struct($"df", $"g"))).as("ordered"))
-      .withColumn("sh", transform($"ordered", o => o("g")))
+      // `sh` re-sorted ASCENDING BY GRAM VALUE (element order is free —
+      // only set semantics reach the output): verification can then count
+      // the intersection with one O(|a|+|b|) sorted two-pointer merge
+      // instead of a hash probe per pair. The PREFIX stays in the
+      // rare-first (df, g) order — that ordering is what makes prefix
+      // filtering work.
+      .withColumn("sh", array_sort(transform($"ordered", o => o("g"))))
       .withColumn("sz", size($"sh"))
       .withColumn("prefix", transform(
         slice($"ordered", lit(1), (floor($"sz" * (1 - threshold)) + 1).cast("int")),
@@ -457,7 +463,12 @@ object Dedup {
     pairs
       .join(perDoc.select($"id".as("id_a"), $"sh".as("sh_a")), Seq("id_a"))
       .join(perDoc.select($"id".as("id_b"), $"sh".as("sh_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")))
+      // exact |∩| via the sorted-merge codegen expression (arrays are
+      // distinct + value-sorted by construction above; equivalence to
+      // size(array_intersect) pinned by SortedIntersectSpec)
+      .withColumn("inter",
+        graft.functions.SortedIntersectCountExpression
+          .sortedIntersectCount($"sh_a", $"sh_b"))
       .withColumn("jaccard",
         $"inter" / (size($"sh_a") + size($"sh_b") - $"inter"))
       .filter($"jaccard" >= threshold)
