@@ -125,8 +125,15 @@ object SparkEntry {
   private def plantedGroups(pairs: DataFrame): DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._
-    val edges = pairs.select($"id_a", $"id_b")
-      .unionByName(pairs.select($"id_b".as("id_a"), $"id_a".as("id_b")))
+    // single-pass symmetrization (explode), NOT a self-union: the union
+    // form referenced `pairs` twice and re-executed the entire upstream
+    // sketch/banding/pairing pipeline once per branch (same fix as
+    // ConnectedComponents round 6)
+    val edges = pairs
+      .select(explode(array(
+        struct($"id_a", $"id_b"),
+        struct($"id_b".as("id_a"), $"id_a".as("id_b")))).as("e"))
+      .select($"e.id_a", $"e.id_b")
     edges.groupBy($"id_a")
       .agg(min($"id_b").as("mn"))
       .select($"id_a".cast("string").as("doc_id"),

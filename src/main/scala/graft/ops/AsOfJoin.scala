@@ -158,9 +158,14 @@ object AsOfJoin {
       .filter(col("__rk") === 1)
       .select((keys :+ "__bucket").map(col) :+ col("__pay").as("__state"): _*)
 
-    // 2. spine: strictly-earlier-bucket carry state per touched (key, bucket)
-    val spine = l.select((keys :+ "__bucket").map(col): _*).distinct()
-      .unionByName(r.select((keys :+ "__bucket").map(col): _*).distinct())
+    // 2. spine: strictly-earlier-bucket carry state per touched (key, bucket).
+    // ONE distinct over the union — the previous per-side distincts + a
+    // final distinct planned three exchanges for one logical dedup; the
+    // single aggregation still partial-aggregates each union input inside
+    // its scan stage, so the exchange carries (key, bucket) groups either
+    // way (plan: 3 exchanges -> 1 for the spine subtree).
+    val spine = l.select((keys :+ "__bucket").map(col): _*)
+      .unionByName(r.select((keys :+ "__bucket").map(col): _*))
       .distinct()
     val wk = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__bucket").asc_nulls_first)
