@@ -31,6 +31,11 @@ object ConnectedComponents {
   /** edges(src,dst) → (node, component) where component = min node id
     * (lexicographic) in the node's connected component.
     *
+    * Two regimes, chosen by the MATERIALIZED size of the edge set: a
+    * single-task union-find when the whole (symmetric, distinct) edge set
+    * fits one AQE byte-sized partition, the iterative min-label loop
+    * otherwise (see below).
+    *
     * The loop's edge partitioning is sized to the DATA, not to
     * spark.sql.shuffle.partitions: a fixed count here made every CC
     * iteration run 64 near-empty tasks/side on a ~500-edge gate graph —
@@ -63,6 +68,37 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint()
     val edgeParts = math.max(1, symPre.rdd.getNumPartitions)
+
+    // SMALL-GRAPH FAST PATH: when the materialized edge set fits ONE
+    // (AQE byte-sized) partition, a single-task union-find over it IS the
+    // exact answer — no labels init, no per-iteration join/aggregate jobs,
+    // no convergence round-trips (the iterative path cost ~3 scheduler
+    // round-trips × ~3 exchanges on a ~500-edge gate graph; the measured
+    // round-5/6 dedup_groups latency). Data-adaptive, not a local-mode
+    // constant: any corpus whose near-dup edge set is under the advisory
+    // partition size takes it, a 100 TB edge set keeps the loop below.
+    // Equivalence to the loop is pinned by CcFastPathSpec (same min-id
+    // semantics: union-by-min under UTF-8 byte order = Spark's StringType
+    // min). String edges only — the only edge type the engine produces.
+    val stringTyped = Seq("src", "dst").forall(c =>
+      symPre.schema(c).dataType == org.apache.spark.sql.types.StringType)
+    if (edgeParts == 1 && stringTyped) {
+      symPre.as[(String, String)]
+        .mapPartitions(unionFindComponents)
+        .toDF("node", "comp")
+    } else loopComponents(symPre, edgeParts, maxIter)
+  }
+
+  /** The iterative min-label + pointer-doubling fixpoint — the
+    * multi-partition regime of [[components]]. `symPre` must be the
+    * MATERIALIZED symmetric distinct edge set; `edgeParts` the data-sized
+    * partition count to keep for the loop (see [[components]]).
+    * Package-private so CcFastPathSpec can pin loop ≡ union-find on the
+    * same graphs regardless of which regime [[components]] selects. */
+  private[graft] def loopComponents(symPre: DataFrame, edgeParts: Int,
+                                    maxIter: Int = 50): DataFrame = {
+    val spark = symPre.sparkSession
+    import spark.implicits._
     // partition on the LOOP's join key before checkpointing: LogicalRDD
     // preserves the hash partitioning, so every iteration's edge⋈label
     // join shuffles only the (|nodes|-sized) label side — without this
@@ -128,6 +164,55 @@ object ConnectedComponents {
       s"connected components did not converge within $maxIter iterations — " +
         "raising maxIter is safe (O(log diameter) rounds)")
     labels
+  }
+
+  /** Single-pass union-find over one partition's edges → (node, comp)
+    * with comp = the component's minimum member id under UTF-8 byte order
+    * (exactly Spark's StringType `min` — UTF8String compares bytes
+    * unsigned, NOT Java's UTF-16 compareTo). Union-by-min keeps every DSU
+    * root the component's running minimum, so no second minimize pass;
+    * path halving keeps find() near-constant. Memory is O(distinct nodes
+    * in the partition) — bounded by the advisory partition size that
+    * admitted the fast path. */
+  private[graft] def unionFindComponents(
+      edges: Iterator[(String, String)]): Iterator[(String, String)] = {
+    val parent = new java.util.HashMap[String, String]()
+    def find(x0: String): String = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) {
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp) // path halving
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    def utf8Less(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    edges.foreach { case (s, d) =>
+      if (!parent.containsKey(s)) parent.put(s, s)
+      if (!parent.containsKey(d)) parent.put(d, d)
+      val rs = find(s)
+      val rd = find(d)
+      if (rs != rd) {
+        if (utf8Less(rs, rd)) parent.put(rd, rs) else parent.put(rs, rd)
+      }
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(String, String)](parent.size)
+    val it = parent.keySet().iterator()
+    while (it.hasNext) { val n = it.next(); out += ((n, find(n))) }
+    out.iterator
   }
 
   /** owl:sameAs-style canonicalization: every URI in a link cluster is

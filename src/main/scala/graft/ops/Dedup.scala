@@ -112,8 +112,14 @@ object Dedup {
     // candidate-index materialization, far cheaper than re-scanning and
     // re-sketching the corpus per branch.
     val rankOrder = skCols :+ $"id"
+    // `rep` = the subgroup's rank-1 id, computed by the SAME sorted window
+    // pass that ranks the rows (first() over the running frame): the star
+    // branch below becomes a projection of this frame instead of a
+    // rep-table self-join — one join + one union branch fewer per dedup,
+    // same pairs (the join emitted exactly (rep, id) per rk>1 row)
     val ranked = salted
       .withColumn("rk", row_number().over(w.orderBy(rankOrder: _*)))
+      .withColumn("rep", first($"id").over(w.orderBy(rankOrder: _*)))
       .withColumn("cnt", count(lit(1)).over(w))
       .localCheckpoint()
 
@@ -137,11 +143,11 @@ object Dedup {
 
     val withinSalt = offsetPairs(ranked)
     // star: every row pairs directly with its subgroup's representative,
-    // so far-apart ranks in a subgroup still get one DIRECT comparison
+    // so far-apart ranks in a subgroup still get one DIRECT comparison —
+    // a pure projection, the rep id already rides every ranked row
     val reps = ranked.filter($"rk" === 1)
-    val star = ranked.filter($"rk" > 1).select($"bucket", $"salt", $"id".as("id_b"))
-      .join(reps.select($"bucket", $"salt", $"id".as("id_a")), Seq("bucket", "salt"))
-      .select($"id_a", $"id_b")
+    val star = ranked.filter($"rk" > 1)
+      .select($"rep".as("id_a"), $"id".as("id_b"))
     // representatives chain across salts: ≤ `salts` rows per bucket, so the
     // per-bucket window is tiny and maxBucket ≥ salts makes them a clique
     val wb = Window.partitionBy($"bucket")
@@ -269,7 +275,12 @@ object Dedup {
     // verification joins each re-derive them from the scan rather than
     // shuffling the shingle arrays through the candidate join — at scale
     // re-reading the (columnar, pruned) text column is cheaper than paying
-    // the payload through every exchange of the pairing
+    // the payload through every exchange of the pairing. Deliberately NOT
+    // checkpointed (unlike the ngram index): a materialization barrier here
+    // blocks downstream pair-id filters from pushing into the payload
+    // sides — measured on the planted-gate query, the pushed filter prunes
+    // each verification side to the planted rows and beats the saved
+    // re-tokenization (2.0 → 2.5 s checkpointed).
     val sh = docs
       .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
       .select(col(idCol).as("id"), shinglesFromTokens(col("__toks")).as("sh"))
@@ -326,6 +337,10 @@ object Dedup {
                             maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // NOT checkpointed — same pushdown-transparency reasoning as the
+    // minhash `sh` frame: downstream pair-id filters prune these
+    // re-derived sides to the filtered rows, which a materialization
+    // barrier would forfeit
     val sigs = docs.select(col(idCol).as("id"),
       Simhash.simhash64(tokens(col(textCol))).as("sig"))
 
@@ -395,18 +410,22 @@ object Dedup {
     // global order = ASCENDING document frequency (rare-first): the whole
     // point of prefix filtering — a doc's prefix holds its RAREST shingles,
     // so candidate buckets stay small; hash order would put boilerplate in
-    // every prefix
-    val dfc = grams.groupBy($"g").agg(count(lit(1)).as("df"))
+    // every prefix. df comes from a WINDOW over g, not a groupBy+join: the
+    // agg+join form referenced `grams` twice, re-running the whole
+    // tokenize/shingle/hash pass once per reference (measured: index
+    // checkpoint 1.75 → 0.97 s warm at sf0.1, identical output) — same
+    // exchange count (by g, then by id), one corpus pass instead of two.
+    val dfw = org.apache.spark.sql.expressions.Window.partitionBy($"g")
     // materialize the per-doc gram index ONCE: it feeds FOUR consumers (the
     // inverted self-join's two sides + the two verification payload joins),
     // and without the checkpoint each consumer re-executes the whole
     // subtree — 2 corpus scans + tokenize/shingle/hash + the df-count
-    // aggregation + the sorted collect_list, ×4 (measured in the plan: 8
+    // window + the sorted collect_list, ×4 (measured in the plan: 8
     // parquet scans, 4 ObjectHashAggregates for one logical index). At
     // scale this is the standard SSJoin index materialization: store the
     // (id, ordered grams, prefix) index once, linear in corpus size,
     // instead of re-deriving it per consumer.
-    val perDoc = grams.join(dfc, Seq("g"))
+    val perDoc = grams.withColumn("df", count(lit(1)).over(dfw))
       .groupBy($"id")
       .agg(sort_array(collect_list(struct($"df", $"g"))).as("ordered"))
       // `sh` re-sorted ASCENDING BY GRAM VALUE (element order is free —
