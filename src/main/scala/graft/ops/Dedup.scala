@@ -107,8 +107,8 @@ object Dedup {
     // banding plan — measured: 6 corpus scans + 6 sketch/signature
     // evaluations per dedup, with ReusedExchange never firing because the
     // branches canonicalize differently (WindowGroupLimit pushdown on the
-    // rep filter). The checkpoint stores (bucket, id, salt, rk, cnt) —
-    // ids only, linear in corpus × bands; at scale that's the standard
+    // rep filter). The checkpoint stores (bucket, id, salt, rk, rep, tail)
+    // — ids only, linear in corpus × bands; at scale that's the standard
     // candidate-index materialization, far cheaper than re-scanning and
     // re-sketching the corpus per branch.
     val rankOrder = skCols :+ $"id"
@@ -116,23 +116,30 @@ object Dedup {
     // pass that ranks the rows (first() over the running frame): the star
     // branch below becomes a projection of this frame instead of a
     // rep-table self-join — one join + one union branch fewer per dedup,
-    // same pairs (the join emitted exactly (rep, id) per rk>1 row)
+    // same pairs (the join emitted exactly (rep, id) per rk>1 row).
+    // `tail` = rows after this one in the subgroup (== cnt − rk) via a
+    // (1, unboundedFollowing) count on the SAME ordered spec — all three
+    // window functions share one partition+order, so the planner emits ONE
+    // WindowExec instead of the ordered pass + a second whole-partition
+    // pass for cnt.
+    val wOrd = w.orderBy(rankOrder: _*)
     val ranked = salted
-      .withColumn("rk", row_number().over(w.orderBy(rankOrder: _*)))
-      .withColumn("rep", first($"id").over(w.orderBy(rankOrder: _*)))
-      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("rk", row_number().over(wOrd))
+      .withColumn("rep", first($"id").over(wOrd))
+      .withColumn("tail",
+        count(lit(1)).over(wOrd.rowsBetween(1, Window.unboundedFollowing)))
       .localCheckpoint()
 
-    // offset-exploded adjacency: d ∈ 1..min(maxBucket, cnt - rk), equi-join
+    // offset-exploded adjacency: d ∈ 1..min(maxBucket, tail), equi-join
     // on rk_a + d = rk_b — each exploded row meets exactly one partner, so
     // comparisons are O(pairs emitted); bounding d by the subgroup size
     // means the (overwhelmingly common) singleton buckets explode NOTHING
     // instead of maxBucket dead probes per row
     def offsetPairs(df: DataFrame): DataFrame = {
-      // least() in LONG before the int cast: cnt - rk can exceed Int.Max
+      // least() in LONG before the int cast: tail can exceed Int.Max
       // in a degenerate >2^31-row subgroup, and a wrapped-negative lim
       // would silently drop all offset pairs for early ranks
-      val lim = least(lit(maxBucket.max(1).toLong), $"cnt" - $"rk").cast("int")
+      val lim = least(lit(maxBucket.max(1).toLong), $"tail").cast("int")
       val l = df.select($"bucket", $"salt", $"id".as("id_a"), $"rk",
           explode(when(lim >= 1, sequence(lit(1), lim))
             .otherwise(array().cast("array<int>"))).as("d"))
@@ -153,9 +160,11 @@ object Dedup {
     val wb = Window.partitionBy($"bucket")
     // same (sk, id) global order as the subgroup ranks — one consistent
     // pair orientation across all structures, no reversed duplicates
+    val wbOrd = wb.orderBy(rankOrder: _*)
     val repsRanked = reps.select($"bucket" +: lit(0L).as("salt") +: $"id" +: skCols: _*)
-      .withColumn("rk", row_number().over(wb.orderBy(rankOrder: _*)))
-      .withColumn("cnt", count(lit(1)).over(wb))
+      .withColumn("rk", row_number().over(wbOrd))
+      .withColumn("tail",
+        count(lit(1)).over(wbOrd.rowsBetween(1, Window.unboundedFollowing)))
     val acrossSalts = offsetPairs(repsRanked)
 
     // cluster star (only when a signature-derived sk rides the banding):
@@ -166,13 +175,20 @@ object Dedup {
     // per exploded row on each side of the self-join (measured 186 s vs
     // 0.6 s at sf0.1 — the banding sits behind a Generate, outside the
     // projection's codegen stage, so nothing memoizes it per consumer)
-    val clusterStars = skNames.map { k =>
-      val clusterReps = ranked.groupBy($"bucket", col(k))
+    // Both sk keys ride ONE exploded frame — one aggregation + one join
+    // instead of a rep-table + join PER key (same pairs: the per-key stars'
+    // union; null key values never join — EqualTo semantics — exactly as
+    // the per-key form behaved). The `kt` discriminator keeps the two
+    // keys' clusters apart even when a sk value collides with a sk2 value.
+    val clusterStars = if (skNames.isEmpty) Nil else Seq {
+      val keyed = ranked.select($"bucket", $"id",
+        posexplode(array(skCols: _*)).as(Seq("kt", "kv")))
+      val clusterReps = keyed.groupBy($"bucket", $"kt", $"kv")
         .agg(min($"id").as("id_a"), count(lit(1)).as("n"))
         .filter($"n" >= 2)
-        .select($"bucket", col(k), $"id_a")
-      ranked.select($"bucket", col(k), $"id".as("id_b"))
-        .join(clusterReps, Seq("bucket", k))
+        .select($"bucket", $"kt", $"kv", $"id_a")
+      keyed.select($"bucket", $"kt", $"kv", $"id".as("id_b"))
+        .join(clusterReps, Seq("bucket", "kt", "kv"))
         .filter($"id_a" =!= $"id_b")
         .select($"id_a", $"id_b")
     }
