@@ -13,6 +13,7 @@ import org.apache.spark.sql.functions._
 object ProbePairsAB {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = if (args.length > 1) args(1).toInt else 1
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
@@ -31,8 +32,18 @@ object ProbePairsAB {
     val numHashes = 64; val bands = 16; val rowsPerBand = numHashes / bands
     val maxBucket = 64; val salts = 16
 
-    def bandedDf() = spark.read.parquet(s"$sfDir/documents.parquet")
-      .repartition(32)
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def rotated(r: Int) = alpha.drop(r % 26) + alpha.take(r % 26)
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id".cast("long").as("doc_id"), lower($"text").as("text"))
+    val docsK = (0 until k).map { r =>
+      base.select(($"doc_id" + lit(r.toLong * 1000000000L)).as("doc_id"),
+        translate($"text", alpha, rotated(r)).as("text"))
+    }.reduce(_ unionByName _)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint()
+
+    def bandedDf() = docsK
       .withColumn("__toks", graft.ops.TextAnalysis.tokens(col("text")))
       .select(col("doc_id").as("id"),
         graft.ops.Dedup.shinglesFromTokens(col("__toks")).as("sh"))
