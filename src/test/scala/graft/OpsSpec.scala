@@ -645,4 +645,24 @@ class OpsSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(media, n = 4)
     assert(frames.groupBy("doc_id").count().select(max("count")).head().getLong(0) == 4)
   }
+
+  test("planted-ANN oracle premise: no corpus vector ties cosine 1.0 with a one-hot axis") {
+    // The embed_cosine_{lsh,ivf} VALUES oracles assume the planted
+    // identical vectors are the UNIQUE rank-1/rank-2 neighbors of the
+    // planted one-hot queries — i.e. no REAL corpus vector reaches cosine
+    // exactly 1.0 against axis 0..3. Pin that premise against the shipped
+    // corpora so a regenerated corpus cannot silently invalidate the
+    // oracle (round-5 advice #4): cosine(v, e_k) = 1 requires v to be a
+    // positive multiple of e_k, i.e. every other component exactly 0.
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val emb = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+      val ties = emb.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .withColumn("nz", size(filter($"v", x => x =!= 0.0d)))
+        .withColumn("axis0to3",
+          expr("exists(slice(v, 1, 4), x -> x > 0)"))
+        .filter($"nz" === 1 && $"axis0to3")
+        .count()
+      assert(ties == 0, s"$sf: $ties corpus vector(s) lie exactly on a planted one-hot axis")
+    }
+  }
 }
