@@ -65,6 +65,13 @@ class CcFastPathSpec extends AnyFunSuite {
     }
   }
 
+  test("empty edge set and pure self-loops yield an empty assignment in both regimes") {
+    val (fast1, loop1) = bothRegimes(Seq.empty)
+    assert(fast1.isEmpty && loop1.isEmpty)
+    val (fast2, loop2) = bothRegimes(Seq(("a", "a"), ("b", "b")))
+    assert(fast2.isEmpty && loop2.isEmpty)
+  }
+
   test("min-id tie-break is UTF-8 byte order (Spark min), not UTF-16") {
     // U+10000 encodes as the surrogate pair D800 DC00 (UTF-16: sorts BELOW
     // U+FF21) but as F0 90 80 80 in UTF-8 (sorts ABOVE U+FF21's EF BC A1):
