@@ -13,8 +13,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a,b) via zip_with + aggregate — pure expressions. */
+  /** dot(a,b) as one native codegen loop
+    * ([[graft.functions.DotProductExpression]]) — bit-identical to the
+    * zip_with+aggregate tree it replaced (same left-to-right IEEE fold;
+    * equivalence pinned by DotProductSpec), without the higher-order
+    * functions' interpreted fallback + per-pair array allocation. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.DotProductExpression.dotProduct(a, b)
+
+  /** The original expression-tree formulation — the equivalence REFERENCE
+    * for the native expression (DotProductSpec compares raw bits). */
+  private[graft] def dotReference(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
