@@ -287,9 +287,10 @@ object Dedup {
     import spark.implicits._
     val rowsPerBand = numHashes / bands
 
-    // shingle sets computed in a narrow pass; the banding path and the two
-    // verification joins each re-derive them from the scan rather than
-    // shuffling the shingle arrays through the candidate join — at scale
+    // shingle STRING sets computed in a narrow pass for the two exact-
+    // jaccard verification joins, which re-derive them from the scan
+    // rather than shuffling the shingle arrays through the candidate
+    // join (the banding path hashes windows directly, below) — at scale
     // re-reading the (columnar, pruned) text column is cheaper than paying
     // the payload through every exchange of the pairing. Deliberately NOT
     // checkpointed (unlike the ngram index): a materialization barrier here
@@ -301,11 +302,14 @@ object Dedup {
       .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
       .select(col(idCol).as("id"), shinglesFromTokens(col("__toks")).as("sh"))
 
-    // `hs` MUST stay its own projection: inlining it into the signature
-    // expression would substitute the per-shingle string hash into all
-    // `numHashes` family lambdas (64× recomputation per row — measured 8×
-    // slower); as a multiply-referenced non-cheap expression it blocks
-    // CollapseProject and is evaluated once per row
+    // `hs` comes from the fused shingle-hash codegen expression DIRECTLY
+    // off the token array — the banding path never materializes shingle
+    // strings (they were ~2 s of a 2.1 s pass at 100k docs; the string
+    // form `sh` below survives only for the exact-jaccard verification
+    // joins). Signature identical: distinct-by-hash vs distinct-by-string
+    // differ only on xxhash64 collisions, and the min-fold signature is
+    // insensitive to duplicates either way (ShingleHashSpec +
+    // MinhashSignatureSpec pin both halves).
     // `sk`/`sk2` = first and last signature elements — two INDEPENDENT
     // hash families: equal-element probability between two docs IS their
     // Jaccard similarity (the minhash property), so the cluster stars /
@@ -315,8 +319,10 @@ object Dedup {
     // (probability (1−J)² instead of (1−J)). The extra syntactic `sig`
     // references also pin `sig` as its own projection (multiply-referenced
     // non-cheap expressions block CollapseProject).
-    val banded = sh
-      .withColumn("hs", transform($"sh", s => xxhash64(s)))
+    val banded = docs
+      .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
+      .select(col(idCol).as("id"),
+        graft.functions.ShingleHash64Expression.shingleHash64(col("__toks"), 3).as("hs"))
       .withColumn("sig", minhashSignatureFromHashes($"hs", numHashes))
       .select($"id", element_at($"sig", 1).as("sk"),
         element_at($"sig", numHashes).as("sk2"),
@@ -417,11 +423,14 @@ object Dedup {
 
     // shingles hashed once to longs: jaccard over hashed sets equals
     // jaccard over string sets up to xxhash64 collisions (negligible at
-    // dozens of grams per doc)
+    // dozens of grams per doc). The fused codegen expression hashes each
+    // window's bytes directly — no shingle string is materialized
+    // (measured: the concat_ws/slice string stage alone was ~2 s of a
+    // 2.1 s pass over 100k docs; equivalence pinned by ShingleHashSpec).
     val grams = docs
       .withColumn("__toks", TextAnalysis.tokens(col(textCol)))
       .select(col(idCol).as("id"), explode(
-        transform(shinglesFromTokens(col("__toks")), s => xxhash64(s))).as("g"))
+        graft.functions.ShingleHash64Expression.shingleHash64(col("__toks"), 3)).as("g"))
 
     // global order = ASCENDING document frequency (rare-first): the whole
     // point of prefix filtering — a doc's prefix holds its RAREST shingles,

@@ -185,9 +185,12 @@ object TextAnalysis {
     val toks = col("__fp_toks")
     val grams = col("__fp_grams")
     df.withColumn("__fp_toks", tokens(col(textCol)))
-      .withColumn("__fp_grams", transform(
-        sequence(lit(0), greatest(size(toks) - 3, lit(0))),
-        i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(3))))))
+      // fused codegen gram hashing (distinct=false: winnowing needs the
+      // POSITIONAL gram sequence, duplicates included) — same per-window
+      // bytes/hash as the old concat_ws/slice tree, no string
+      // materialization (ShingleHashSpec pins the hash sequence)
+      .withColumn("__fp_grams", graft.functions.ShingleHash64Expression
+        .shingleHash64(toks, 3, distinct = false))
       .withColumn("fingerprint", array_distinct(transform(
         sequence(lit(0), greatest(size(grams) - w, lit(0))),
         i => array_min(slice(grams, i + 1, lit(w))))))
