@@ -124,22 +124,25 @@ object TextAnalysis {
     // this column so the cost never surfaced; the honest toRdd timing
     // hung one task for >20 min at sf0.1 (same family as
     // Dedup.minhashSignatureFromHashes — see fingerprints above).
-    val sorted = col("__rep_sorted")
-    val n = size(sorted) // always >= 1: a short doc yields one truncated gram
-    val idxs = when(n > 1, sequence(lit(1), n - 1))
-      .otherwise(array().cast("array<int>")) // sequence(1,0) would DESCEND
-    val top = aggregate(idxs,
-      named_struct(lit("best"), lit(1), lit("cur"), lit(1)),
-      (acc, i) => {
-        val cur2 = when(element_at(sorted, i + 1) === element_at(sorted, i),
-          acc.getField("cur") + 1).otherwise(lit(1))
-        named_struct(lit("best"), greatest(acc.getField("best"), cur2),
-          lit("cur"), cur2)
-      },
-      acc => acc.getField("best"))
+    // Round 6: the fold above is now TWO codegen expressions — hashed
+    // positional bigrams (ShingleHash64, distinct=false; same window
+    // count, so n_grams is unchanged) and a primitive sort+scan for the
+    // largest multiplicity (MaxRunLengthExpression). The old tree
+    // aggregate-folded over a sorted STRING array with two element_at
+    // lookups + a struct allocation per step, all interpreted. The top
+    // count over hashed bigrams equals the count over string bigrams
+    // unless two DISTINCT bigrams collide in xxhash64 (~2⁻⁶⁴/pair) —
+    // the tolerance the hashed-gram jaccard paths already document;
+    // equality on the real corpora is pinned by the oracle row and
+    // OpsSpec.
+    val hashed = col("__rep_hashed")
+    val n = size(hashed) // always >= 1: a short doc yields one truncated gram
     df.withColumn("__rep_toks", tokens(lower(col(textCol))))
-      .withColumn("__rep_sorted", array_sort(bigrams(col("__rep_toks"))))
-      .select(col(idCol), top.cast("long").as("top_gram_count"),
+      .withColumn("__rep_hashed", graft.functions.ShingleHash64Expression
+        .shingleHash64(col("__rep_toks"), 2, distinct = false))
+      .select(col(idCol),
+        graft.functions.MaxRunLengthExpression.maxRunLength(hashed)
+          .cast("long").as("top_gram_count"),
         n.cast("long").as("n_grams"))
   }
 
