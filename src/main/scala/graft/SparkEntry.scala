@@ -646,9 +646,14 @@ object SparkEntry {
     }),
 
     // ---- text analysis: repetition signals (Gopher top-bigram fraction) ---
+    // plain scan since the round-6 codegen fusion (hashed bigrams +
+    // primitive run-length scan) collapsed the per-row work 16×: the
+    // tWide round-robin exchange of the text payload now costs 2× what
+    // the parallelism buys (A/B: 0.45 s plain vs 0.89 s spread at sf0.1)
+    // — the same threshold call as the light counting ops below
     "text_repetition" -> ((s, d) => {
       import s.implicits._
-      TextAnalysis.repetitionCounts(tWide(s, d, "documents"), "doc_id", "text")
+      TextAnalysis.repetitionCounts(t(s, d, "documents"), "doc_id", "text")
         .orderBy($"doc_id")
     }),
 

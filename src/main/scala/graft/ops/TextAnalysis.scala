@@ -194,9 +194,11 @@ object TextAnalysis {
       // materialization (ShingleHashSpec pins the hash sequence)
       .withColumn("__fp_grams", graft.functions.ShingleHash64Expression
         .shingleHash64(toks, 3, distinct = false))
-      .withColumn("fingerprint", array_distinct(transform(
-        sequence(lit(0), greatest(size(grams) - w, lit(0))),
-        i => array_min(slice(grams, i + 1, lit(w))))))
+      // fused winnowing selection: one monotonic-deque pass (O(n)) in
+      // codegen instead of an interpreted slice+array_min per window
+      // (O(n·w)) — exact tree mirror, pinned by WinnowMinSpec
+      .withColumn("fingerprint",
+        graft.functions.WinnowMinExpression.winnowMin(grams, w))
       .drop("__fp_toks", "__fp_grams")
   }
 }
